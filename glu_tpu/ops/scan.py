@@ -1,0 +1,108 @@
+"""Blelloch exclusive prefix scan (sum), with batched adjacent partitions.
+
+TPU-native re-design of reference glu/BlellochScan.hpp. The reference runs
+2*log2(N) host-synchronized dispatches (upsweep then downsweep, one per tree
+level, with a full glMemoryBarrier between each — BlellochScan.hpp:142-190);
+that per-level round trip is why its 1K-element scan costs 1.1 ms
+(README.md:110). On TPU the whole up+down tree collapses into ONE Pallas
+kernel: a sequential grid over VMEM tiles, each tile scanned in-register
+(lane/sublane log-step shifts), with a scalar carry chained across grid steps
+through SMEM — zero host round trips.
+
+The reference's `num_partitions` batch mode (grid-y = partition,
+BlellochScan.hpp:125-138) — really a segmented scan over adjacent
+equal-length segments — maps to a leading partition axis here, and is what
+the radix sort uses for its [16][num_blocks] offset table (RadixSort.hpp:311).
+
+Parity notes:
+  - operator is `+` with identity 0, as in the reference (OPERATION/IDENTITY
+    hardcoded at BlellochScan.hpp:99-100 despite the dtype arg);
+  - the class form requires power-of-2 partition length, matching the
+    reference's check (BlellochScan.hpp:134); the functional form lifts that
+    restriction (the reference's own TODO) via internal padding;
+  - u32 sums wrap mod 2^32 exactly as the GLSL uint arithmetic does.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.buffers import DeviceBuffer
+from ..utils.dtypes import DataType, check_dtype_supported
+from ..utils.errors import check_argument
+from ..utils.math import is_power_of_2
+from .backend import resolve_backend
+
+
+@partial(jax.jit, static_argnames=("num_partitions", "backend"))
+def _scan_impl(x: jax.Array, num_partitions: int, backend: str) -> jax.Array:
+    if backend == "pallas":
+        from ._pallas_scan import pallas_exclusive_scan
+
+        return pallas_exclusive_scan(x, num_partitions)
+    n = x.shape[0]
+    seg = x.reshape(num_partitions, n // num_partitions)
+    inc = jnp.cumsum(seg, axis=1, dtype=x.dtype)
+    return (inc - seg).reshape(n)
+
+
+def exclusive_scan(
+    x: jax.Array, num_partitions: int = 1, *, backend: str | None = None
+) -> jax.Array:
+    """Exclusive prefix sum of x, independently over `num_partitions` adjacent
+    equal-length partitions. Returns a new array (not in-place).
+
+    x: (N,) with N divisible by num_partitions. Any partition length >= 1
+    (power-of-2 NOT required — the reference's restriction is lifted).
+    """
+    check_argument(x.ndim == 1, "exclusive_scan expects a 1-D array, got shape %s", x.shape)
+    check_argument(num_partitions >= 1, "num_partitions must be >= 1")
+    check_argument(
+        x.shape[0] % num_partitions == 0,
+        "size %d not divisible by num_partitions %d",
+        x.shape[0],
+        num_partitions,
+    )
+    return _scan_impl(x, num_partitions, resolve_backend(backend))
+
+
+class BlellochScan:
+    """Constructor-specialized scan operator (reference glu/BlellochScan.hpp:80-191).
+
+    `BlellochScan(DataType.UINT)(buffer, count, num_partitions)` scans the
+    first count*num_partitions elements in place (buffer form) and returns
+    the scanned array. Enforces the reference's power-of-2 `count` check
+    (BlellochScan.hpp:134).
+    """
+
+    def __init__(self, data_type: DataType):
+        self.info = check_dtype_supported(data_type)
+        check_argument(
+            self.info.components == 1,
+            "BlellochScan supports scalar types (the reference only exercises uint)",
+        )
+        self.data_type = data_type
+
+    def __call__(
+        self,
+        buffer: DeviceBuffer | jax.Array,
+        count: int,
+        num_partitions: int = 1,
+        *,
+        backend: str | None = None,
+    ):
+        data = buffer.data if isinstance(buffer, DeviceBuffer) else buffer
+        check_argument(count >= 1, "Count must be >= 1")
+        check_argument(is_power_of_2(count), "Count must be a power of 2 (got %d)", count)
+        total = count * num_partitions
+        check_argument(
+            total <= data.shape[0], "count*num_partitions %d exceeds buffer size %d", total, data.shape[0]
+        )
+        result = exclusive_scan(data[:total], num_partitions, backend=backend)
+        if isinstance(buffer, DeviceBuffer):
+            buffer.data = buffer.data.at[:total].set(result)
+            return buffer.data[:total]
+        return result

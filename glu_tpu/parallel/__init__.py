@@ -1,0 +1,10 @@
+"""Multi-device / multi-host layer.
+
+The reference is single-process single-GPU (SURVEY.md §2.3); this layer is
+the new capability required by BASELINE.json's north star: sorting sharded
+key/value arrays across a TPU mesh with sampled-splitter partitioning, a
+single padded all-to-all bucket exchange over ICI, and stable local sorts —
+composed from the same single-chip kernels via `jax.shard_map`.
+"""
+
+from .dist_sort import distributed_radix_sort, make_sort_mesh

@@ -1,0 +1,155 @@
+"""Radix sort tests — mirrors reference test/radix_sort_tests.cpp
+(check_permutation + check_sorted over the same size classes) and closes the
+gaps SURVEY §4 flags: the reference never checks values or stability
+(radix_sort_tests.cpp note: vals zero-filled); here values carry the original
+index so stability and the key/value pairing are both asserted, and
+pre-sorted / reverse-sorted / low-entropy inputs (BASELINE.json configs) are
+exercised."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glu_tpu import DeviceBuffer, RadixSort, radix_sort, radix_sort_keys
+
+
+def check_permutation(original: np.ndarray, result: np.ndarray):
+    # analog of reference check_permutation (radix_sort_tests.cpp:20-43):
+    # value-histogram equality
+    a, b = np.sort(original), np.sort(result)
+    np.testing.assert_array_equal(a, b)
+
+
+def check_sorted(keys: np.ndarray):
+    # analog of reference check_sorted (radix_sort_tests.cpp:45-51)
+    assert np.all(keys[:-1] <= keys[1:])
+
+
+def check_stable_pairs(in_keys: np.ndarray, out_keys: np.ndarray, out_vals: np.ndarray):
+    """Full contract: out equals a stable sort of (key, index) pairs."""
+    order = np.argsort(in_keys, kind="stable")
+    np.testing.assert_array_equal(out_keys, in_keys[order])
+    np.testing.assert_array_equal(out_vals, order.astype(np.uint32))
+
+
+def _run_sort(keys: np.ndarray, backend: str, num_steps: int = 0):
+    vals = np.arange(keys.size, dtype=np.uint32)
+    out_k, out_v = radix_sort(jnp.asarray(keys), jnp.asarray(vals), num_steps, backend=backend)
+    return np.asarray(out_k), np.asarray(out_v)
+
+
+@pytest.mark.parametrize("size", [128, 256, 512, 1024])
+def test_sort_small_pow2(size, backend, seeded_rng):
+    # analog of RadixSort-128-256-512-1024 (radix_sort_tests.cpp:88-110)
+    rng = seeded_rng(1)
+    keys = rng.sample_int_vector(size, 0, 0xFFFFFFFE)
+    out_k, out_v = _run_sort(keys, backend)
+    check_permutation(keys, out_k)
+    check_sorted(out_k)
+    check_stable_pairs(keys, out_k, out_v)
+
+
+def test_sort_low_entropy(backend, seeded_rng):
+    # analog of RadixSort-2048 (radix_sort_tests.cpp:112-134): keys in [0,10)
+    # — duplicate-heavy, the stability stress case
+    rng = seeded_rng(2)
+    keys = rng.sample_int_vector(2048, 0, 9)
+    out_k, out_v = _run_sort(keys, backend)
+    check_sorted(out_k)
+    check_stable_pairs(keys, out_k, out_v)
+
+
+@pytest.mark.parametrize("size", [10993, 16447, 20771, 33377, 47487])
+def test_sort_odd_sizes(size, backend, seeded_rng):
+    # analog of RadixSort-multiple-sizes (radix_sort_tests.cpp:136-158):
+    # odd non-power-of-2 sizes, full-range keys
+    rng = seeded_rng(size)
+    keys = rng.sample_int_vector(size, 0, 0xFFFFFFFE)
+    out_k, out_v = _run_sort(keys, backend)
+    check_permutation(keys, out_k)
+    check_sorted(out_k)
+    check_stable_pairs(keys, out_k, out_v)
+
+
+@pytest.mark.parametrize("kind", ["presorted", "reverse", "constant"])
+def test_sort_adversarial_orders(kind, backend):
+    # BASELINE.json configs: pre-sorted, reverse, low-entropy
+    n = 8192
+    if kind == "presorted":
+        keys = np.arange(n, dtype=np.uint32)
+    elif kind == "reverse":
+        keys = np.arange(n, dtype=np.uint32)[::-1].copy()
+    else:
+        keys = np.full(n, 0xDEADBEEF, dtype=np.uint32)
+    out_k, out_v = _run_sort(keys, backend)
+    check_sorted(out_k)
+    check_stable_pairs(keys, out_k, out_v)
+
+
+@pytest.mark.parametrize("num_steps", [1, 2, 4, 7])
+def test_sort_partial_steps(num_steps, backend, seeded_rng):
+    # the reference's num_steps debugging affordance (RadixSort.hpp:273,332):
+    # after k passes, pairs are stably sorted by the low 4k key bits
+    rng = seeded_rng(7)
+    keys = rng.sample_int_vector(4096, 0, 0xFFFFFFFE)
+    out_k, out_v = _run_sort(keys, backend, num_steps)
+    mask = np.uint32((1 << (4 * num_steps)) - 1)
+    order = np.argsort(keys & mask, kind="stable")
+    np.testing.assert_array_equal(out_k, keys[order])
+    np.testing.assert_array_equal(out_v, order.astype(np.uint32))
+
+
+def test_sort_tiny_counts(backend):
+    # count <= 1 early-exits (reference RadixSort.hpp:278-279)
+    k0, v0 = radix_sort(jnp.zeros(0, jnp.uint32), jnp.zeros(0, jnp.uint32), backend=backend)
+    assert k0.shape == (0,)
+    k1, v1 = radix_sort(
+        jnp.array([5], jnp.uint32), jnp.array([9], jnp.uint32), backend=backend
+    )
+    assert int(k1[0]) == 5 and int(v1[0]) == 9
+    k2, v2 = _run_sort(np.array([2, 1], dtype=np.uint32), backend)
+    np.testing.assert_array_equal(k2, [1, 2])
+    np.testing.assert_array_equal(v2, [1, 0])
+
+
+def test_sort_keys_only(backend, seeded_rng):
+    rng = seeded_rng(11)
+    keys = rng.sample_int_vector(5000, 0, 0xFFFFFFFE)
+    out = np.asarray(radix_sort_keys(jnp.asarray(keys), backend=backend))
+    check_permutation(keys, out)
+    check_sorted(out)
+
+
+def test_sort_extreme_keys(backend):
+    # keys at the u32 extremes, all 8 digit positions exercised
+    keys = np.array(
+        [0xFFFFFFFF, 0, 0x80000000, 0x7FFFFFFF, 1, 0xFFFFFFFE, 0x00010000, 0xF0F0F0F0],
+        dtype=np.uint32,
+    )
+    out_k, out_v = _run_sort(keys, backend)
+    check_sorted(out_k)
+    check_stable_pairs(keys, out_k, out_v)
+
+
+def test_sort_class_in_place(backend, seeded_rng):
+    # reference call shape: RadixSort()(key_buffer, val_buffer, count)
+    # sorts in place via ping-pong landing back in the user's buffers
+    rng = seeded_rng(3)
+    keys = rng.sample_int_vector(3000, 0, 0xFFFFFFFE)
+    vals = np.arange(3000, dtype=np.uint32)
+    kbuf, vbuf = DeviceBuffer(keys), DeviceBuffer(vals)
+    sorter = RadixSort()
+    sorter.prepare_internal_buffers(3000, backend=backend)
+    sorter(kbuf, vbuf, 3000, backend=backend)
+    check_stable_pairs(keys, kbuf.get_data(), vbuf.get_data())
+
+
+def test_sort_class_count_subset(backend, seeded_rng):
+    # sorting only the first `count` pairs of larger buffers
+    rng = seeded_rng(4)
+    keys = rng.sample_int_vector(100, 0, 1000)
+    vals = np.arange(100, dtype=np.uint32)
+    kbuf, vbuf = DeviceBuffer(keys), DeviceBuffer(vals)
+    RadixSort()(kbuf, vbuf, 60, backend=backend)
+    check_stable_pairs(keys[:60], kbuf.get_data()[:60], vbuf.get_data()[:60])
+    np.testing.assert_array_equal(kbuf.get_data()[60:], keys[60:])
