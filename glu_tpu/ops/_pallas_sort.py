@@ -1,168 +1,520 @@
-"""Pallas radix-sort kernels.
+"""Pallas radix-sort engine: LSD radix-16, VMEM bit-split blocks + DMA splicer.
 
-TPU-native replacement for the reference's per-pass count/scan/reorder GLSL
-pipeline (glu/RadixSort.hpp:33-57 count, :311 scan, :60-183 reorder). Per
-4-bit pass:
+TPU-native replacement for the reference's count/scan/reorder GLSL pipeline
+(glu/RadixSort.hpp:33-57, :311, :60-183). Same LSD contract — 8 stable
+passes of 4 bits each, double-buffered arrays, partial execution via
+`num_steps` (RadixSort.hpp:273,332) — but every stage is re-designed for a
+machine with no global atomics and no vector scatter:
 
-  K1 `histogram`: grid over GROUPs of 8 tiles (tile = BLOCK_ROWS x 128 keys;
-     grouping by 8 keeps every block shape (8k, 128)-aligned for Mosaic).
-     The per-tile 16-bin digit histogram is a vectorized one-hot count — TPU
-     has no fast global atomics, so the reference's per-key atomicAdd
-     (:42-48) becomes dense predicate-sums on the VPU. Output layout:
-     (groups, 8, 128) — row j = tile j of the group, lane d = digit d count.
+  PASS p (bits 4p..4p+3):
+    K1 `group`  — grid over S = BLOCK_R*128 element blocks resident in
+        VMEM. Each block is stably grouped by its 4-bit digit via four
+        1-bit SPLITS built from TPU-legal vector movement only:
+          a. in-row split: each 128-lane row is stably partitioned by the
+             bit; the in-row inverse permutation comes from a 7-step
+             binary search over the row's inclusive zero count (lane
+             gathers) — the VPU analog of the reference's shared-memory
+             Blelloch ranks (RadixSort.hpp:102-140);
+          b. route: each element is lane-gathered to its FINAL lane
+             (dest mod 128) and tagged with its dest-row distance — pure
+             arithmetic once rows are grouped;
+          c. column shift: per class (zeros move up, ones move down), a
+             masked log-step sublane shift walks every element to its
+             dest row. Collision-free: per (lane, class), dest rows are
+             strictly monotone in source position.
+        The kernel also emits each block's 16-bin digit histogram (the
+        reference's atomicAdd count shader, RadixSort.hpp:42-48, as dense
+        predicate sums — TPU has no fast atomics).
+    glue — two tiny cumsums turn the [block, 16] counts into run
+        descriptors (src, dst, len), bucket-major: the reference's
+        16-partition Blelloch scan of [digit][block] (RadixSort.hpp:311).
+    K2 `splice` — a sequential-grid DMA kernel concatenates every block's
+        digit-d run into the global digit-d region: chunked row-aligned
+        dynamic-offset copies, lane-rotated to destination alignment, with
+        a carry row stitching misaligned run boundaries. This realizes the
+        reference's scatter (reorder shader :142-182) as large linear
+        DMAs — the only efficient "scatter" a TPU has.
 
-  glue (jnp, tiny): the [tiles, 16] table is scanned exactly like the
-     reference's 16-partition BlellochScan of [digit][block] (:311) —
-     per-digit exclusive scan over tiles plus the global digit exclusive
-     scan gives bases[t, d] = global start of tile t's digit-d run.
-
-  K2 `rank`: recomputes digits and, per digit, a row-major inclusive one-hot
-     scan of each tile (the in-register analog of the reference's 16 serial
-     shared-memory 1024-wide Blelloch scans, :157-181 — its hottest loop),
-     producing each element's stable global destination
-     dest = bases[tile, d] + local_rank.
-
-  scatter: the destinations form a permutation; the movement is realized
-     with XLA's native scatter (unique indices). [A run-structured DMA
-     writer is the planned upgrade.]
-
-The radix shift is a runtime scalar (SMEM input) so ONE compiled kernel
-serves all 8 passes — the analog of the reference's u_radix_shift uniform
-(RadixSort.hpp:303) — letting the pass loop be a lax.fori_loop.
-
-Padding: keys are padded to a whole number of tile-groups with 0xFFFFFFFF.
-Pad elements start at the tail and — having the maximal digit every pass,
-plus stability — remain at the tail after every pass, so out[:n] is exact
-and no kernel needs bounds masks (the TPU analog of the reference's
-in-kernel `if key_index < u_count` checks, RadixSort.hpp:41,160).
+Stability: every stage is stable, and runs are spliced in (digit, block)
+order. The tail padding (0xFFFFFFFF keys) has the maximal digit each pass
+and starts positionally last, so it stays the exact global tail through
+all passes (replacing the reference's per-thread bounds checks,
+RadixSort.hpp:41,160).
 """
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ._pallas_common import LANES, interpret_mode, round_up
-from ._pallas_scan import tile_inclusive_rowmajor
-from .radix_sort import RADIX, RADIX_BITS
+from ._pallas_common import interpret_mode
+from .radix_sort import RADIX_BITS
 
-BLOCK_ROWS = 32  # rows per tile: tile = 32 x 128 = 4096 keys (reference blocks: 1024)
-TILE = BLOCK_ROWS * LANES
-TILES_PER_GROUP = 8  # tiles per grid step; gives (8, 128)-aligned hist/bases blocks
-GROUP = TILES_PER_GROUP * TILE
-
-
-def _hist_kernel(shift_ref, k_ref, hist_ref):
-    shift = shift_ref[0].astype(jnp.uint32)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TILES_PER_GROUP, LANES), 0)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (TILES_PER_GROUP, LANES), 1)
-    res = jnp.zeros((TILES_PER_GROUP, LANES), dtype=jnp.int32)
-    for j in range(TILES_PER_GROUP):
-        digit = (k_ref[j * BLOCK_ROWS : (j + 1) * BLOCK_ROWS, :] >> shift) & jnp.uint32(
-            RADIX - 1
-        )
-        for d in range(RADIX):
-            c = jnp.sum((digit == jnp.uint32(d)).astype(jnp.int32))
-            res = res + jnp.where((rows == j) & (lanes == d), c, 0)
-    hist_ref[0] = res
+LANES = 128
+FIELD_BITS = 4                 # bits grouped per internal pass (= one
+                               # reference-visible 4-bit pass)
+FIELDS = 1 << FIELD_BITS
+BLOCK_R = 1024                 # rows per block; block = 131072 elements
+BLOCK_S = BLOCK_R * LANES
+CH_ROWS = 72                   # covers a typical run (BLOCK_R/FIELDS rows) + misaligned boundary
+_READ_ROWS = CH_ROWS + 8       # DMA read size (sublane-aligned, covers CH+1 rows)
+_SLACK_ROWS = 2 * CH_ROWS + _READ_ROWS  # src/dst over-read/-write padding
 
 
-def _rank_kernel(shift_ref, k_ref, bases_ref, dest_ref):
-    shift = shift_ref[0].astype(jnp.uint32)
-    for j in range(TILES_PER_GROUP):
-        sl = slice(j * BLOCK_ROWS, (j + 1) * BLOCK_ROWS)
-        digit = (k_ref[sl, :] >> shift) & jnp.uint32(RADIX - 1)
-        dest = jnp.zeros((BLOCK_ROWS, LANES), dtype=jnp.int32)
-        for d in range(RADIX):
-            m = digit == jnp.uint32(d)
-            cm = tile_inclusive_rowmajor(m.astype(jnp.int32))
-            dest = jnp.where(m, bases_ref[0, j, d] + cm - 1, dest)
-        dest_ref[sl, :] = dest
+def _lanes(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
 
 
-def _pass_dest(keys2d: jax.Array, shift: jax.Array, num_groups: int) -> jax.Array:
-    """Compute each element's stable destination index for one pass."""
-    interp = interpret_mode()
-    shift_arr = shift.reshape(1).astype(jnp.int32)
-    group_rows = TILES_PER_GROUP * BLOCK_ROWS
+def _rows(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 2)
 
-    hists = pl.pallas_call(
-        _hist_kernel,
-        grid=(num_groups,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((group_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, TILES_PER_GROUP, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((num_groups, TILES_PER_GROUP, LANES), jnp.int32),
-        interpret=interp,
+
+def _inrow_cumsum(x):
+    lanes = _lanes(x.shape)
+    s = 1
+    while s < LANES:
+        x = x + jnp.where(lanes >= s, pltpu.roll(x, s, axis=x.ndim - 1), 0)
+        s *= 2
+    return x
+
+
+def _col_cumsum_incl(x, rows_n):
+    rows = _rows(x.shape)
+    s = 1
+    while s < rows_n:
+        x = x + jnp.where(rows >= s, pltpu.roll(x, s, axis=x.ndim - 2), 0)
+        s *= 2
+    return x
+
+
+def _split_round(k, v, bit):
+    """One stable 1-bit split of a (R, 128) block in row-major order."""
+    R = k.shape[0]
+    lanes = _lanes((R, LANES))
+    rows = _rows((R, LANES))
+    z = 1 - bit
+    cumZ = _inrow_cumsum(z)                       # inclusive zeros per row
+    c0 = cumZ[:, LANES - 1 : LANES]               # (R,1)
+    Zin = _col_cumsum_incl(c0, R)
+    Zex = Zin - c0                                # zeros before this row
+    n0 = Zin[R - 1, 0]                            # total zeros
+    Oex = _rows((R, 1)) * LANES - Zex             # ones before this row
+
+    # a. in-row split (binary-searched inverse, then one gather per array)
+    is_zero_slot = lanes < c0
+    target = jnp.where(is_zero_slot, lanes + 1, lanes - c0 + 1)
+    lo = jnp.zeros((R, LANES), jnp.int32)
+    step = LANES // 2
+    while step >= 1:
+        mid = lo + step - 1
+        cz = jnp.take_along_axis(cumZ, mid, axis=1)
+        cm = jnp.where(is_zero_slot, cz, mid + 1 - cz)
+        lo = jnp.where(cm < target, lo + step, lo)
+        step //= 2
+    gk = jnp.take_along_axis(k, lo, axis=1)       # rows grouped [zeros|ones]
+    gv = jnp.take_along_axis(v, lo, axis=1) if v is not None else None
+
+    # b. route to final lane + dest-row tag
+    def route(Fc, base, cnt):
+        rank = (lanes - Fc) % LANES
+        src = jnp.clip(base + rank, 0, LANES - 1)
+        rk = jnp.take_along_axis(gk, src, axis=1)
+        rv = jnp.take_along_axis(gv, src, axis=1) if gv is not None else None
+        valid = rank < cnt
+        q = (Fc // LANES) + jnp.where(lanes < (Fc % LANES), 1, 0)
+        d = jnp.where(valid, jnp.abs(q - rows), 0)
+        meta = jnp.where(valid, (d << 1) | 1, 0)
+        return rk, rv, meta
+
+    # c. masked sublane log-shift to dest rows
+    def colshift(rk, rv, meta, up):
+        s = 1
+        while s < R:
+            t = (R - s) % R if up else s          # roll: row r -> row r+t
+            rk_s = pltpu.roll(rk, t, axis=0)
+            m_s = pltpu.roll(meta, t, axis=0)
+            arrive = jnp.logical_and((m_s & 1) == 1, ((m_s >> 1) & s) != 0)
+            stay = ((meta >> 1) & s) == 0
+            rk = jnp.where(arrive, rk_s, rk)
+            if rv is not None:
+                rv = jnp.where(arrive, pltpu.roll(rv, t, axis=0), rv)
+            meta = jnp.where(arrive, m_s - (s << 1), jnp.where(stay, meta, 0))
+            s *= 2
+        return rk, rv
+
+    zk, zv, zmeta = route(Zex, jnp.zeros((R, 1), jnp.int32), c0)
+    ok_, ov_, ometa = route(jnp.int32(n0) + Oex, c0, LANES - c0)
+    zk, zv = colshift(zk, zv, zmeta, up=True)
+    ok_, ov_ = colshift(ok_, ov_, ometa, up=False)
+    sel = (rows * LANES + lanes) < n0
+    out_k = jnp.where(sel, zk, ok_)
+    out_v = jnp.where(sel, zv, ov_) if v is not None else None
+    return out_k, out_v
+
+
+def _group_block(k, v, shift):
+    """Group a (R,128) block stably by its FIELD_BITS-bit field at `shift`
+    (LSB-first splits)."""
+    for b in range(FIELD_BITS):
+        bit = ((k >> (shift + jnp.uint32(b))) & jnp.uint32(1)).astype(jnp.int32)
+        k, v = _split_round(k, v, bit)
+    return k, v
+
+
+def _counts_row(k, shift):
+    """FIELDS-bin field histogram of a block, laid into an (8,128) tile
+    (row 0, lanes 0..FIELDS-1) — the Mosaic-aligned counts output."""
+    digit = (k >> shift) & jnp.uint32(FIELDS - 1)
+    rows8 = _rows((8, LANES))
+    lanes8 = _lanes((8, LANES))
+    res = jnp.zeros((8, LANES), jnp.int32)
+    for d in range(FIELDS):
+        c = jnp.sum((digit == jnp.uint32(d)).astype(jnp.int32))
+        res = res + jnp.where((rows8 == 0) & (lanes8 == d), c, 0)
+    return res
+
+
+def _group_pass(shift_arr, keys2d, values2d, R, interpret):
+    """K1: returns (grouped keys, grouped values | None, counts (B, 16))."""
+    num_blocks = keys2d.shape[0] // R
+    data_spec = pl.BlockSpec((R, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cnt_spec = pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    data_shape = jax.ShapeDtypeStruct(keys2d.shape, jnp.uint32)
+    cnt_shape = jax.ShapeDtypeStruct((num_blocks, 8, LANES), jnp.int32)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    if values2d is not None:
+
+        def kernel(shift_ref, k_ref, v_ref, ok_ref, ov_ref, cnt_ref):
+            shift = shift_ref[0].astype(jnp.uint32)
+            k, v = _group_block(k_ref[:], v_ref[:], shift)
+            ok_ref[:] = k
+            ov_ref[:] = v
+            cnt_ref[0] = _counts_row(k, shift)
+
+        ok, ov, cnt = pl.pallas_call(
+            kernel,
+            grid=(num_blocks,),
+            in_specs=[smem, data_spec, data_spec],
+            out_specs=[data_spec, data_spec, cnt_spec],
+            out_shape=[data_shape, data_shape, cnt_shape],
+            interpret=interpret,
+            compiler_params=params,
+        )(shift_arr, keys2d, values2d)
+        return ok, ov, cnt[:, 0, :FIELDS]
+
+    def kernel_k(shift_ref, k_ref, ok_ref, cnt_ref):
+        shift = shift_ref[0].astype(jnp.uint32)
+        k, _ = _group_block(k_ref[:], None, shift)
+        ok_ref[:] = k
+        cnt_ref[0] = _counts_row(k, shift)
+
+    ok, cnt = pl.pallas_call(
+        kernel_k,
+        grid=(num_blocks,),
+        in_specs=[smem, data_spec],
+        out_specs=[data_spec, cnt_spec],
+        out_shape=[data_shape, cnt_shape],
+        interpret=interpret,
+        compiler_params=params,
     )(shift_arr, keys2d)
+    return ok, None, cnt[:, 0, :FIELDS]
 
-    # [tiles, 16] offset table — the reference's 16-partition Blelloch scan
-    # (RadixSort.hpp:311) collapsed into two tiny cumsums on the host graph.
-    num_tiles = num_groups * TILES_PER_GROUP
-    hist_t16 = hists.reshape(num_tiles, LANES)[:, :RADIX]
-    tile_excl = jnp.cumsum(hist_t16, axis=0) - hist_t16
-    totals = jnp.sum(hist_t16, axis=0)
-    starts = jnp.cumsum(totals) - totals
-    bases16 = (starts[None, :] + tile_excl).astype(jnp.int32)
-    bases = jnp.zeros((num_tiles, LANES), dtype=jnp.int32).at[:, :RADIX].set(bases16)
-    bases = bases.reshape(num_groups, TILES_PER_GROUP, LANES)
 
-    dest = pl.pallas_call(
-        _rank_kernel,
-        grid=(num_groups,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((group_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, TILES_PER_GROUP, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
+def _splice_kernel_body(s_ref, d_ref, l_ref, ksrc_ref, vsrc_ref, kdst_ref, vdst_ref,
+                        kbuf, vbuf, kout, vout, kcarry, vcarry,
+                        sem_rd, sem_wr, sem_x):
+    """Copy run i (grid step i) of BOTH streams: flat [src, src+len) ->
+    flat [dst, dst+len) for keys and values with shared descriptors.
+
+    Software-pipelined across the sequential grid: step i consumes the
+    reads issued at step i-1 (double-buffered slots), issues run i+1's
+    reads before waiting on its own writes, and defers its write completion
+    to step i+1 (which must wait anyway before touching the shared
+    boundary row). Every step issues exactly one read pair and one write
+    pair (dummy transfers into the slack region for empty runs) so the
+    semaphore accounting is static. Runs longer than CH_ROWS fall back to
+    an inline serial path for their extra chunks (sem_x).
+
+    Index algebra: delta = dst - src, rot = delta mod 128,
+    dq = (delta - rot)/128. Output row j, lane l takes
+    src[(dst_row + j) - dq - (1 if l < rot else 0), (l - rot) mod 128].
+    Reads cover _READ_ROWS source rows (clamped at 0: clamped lanes lie
+    before the run's own start and are rewritten by design). Writes are
+    whole CH_ROWS chunks; spill beyond the run's end is rewritten by later
+    runs (ascending dst order) or lands in padded slack. kcarry/vcarry hold
+    the previous run's last output row for the boundary merge.
+    """
+    i = pl.program_id(0)
+    nruns = pl.num_programs(0)
+    slack_row = kdst_ref.shape[0] - CH_ROWS  # dummy-write target in slack
+
+    def read_chunk_start(run, slot):
+        src = s_ref[run]
+        dst = d_ref[run]
+        ln = l_ref[run]
+        dq = (dst - src - (dst - src) % LANES) // LANES
+        hi0 = dst // LANES - dq
+        rd0 = jnp.where(ln > 0, jnp.maximum(hi0 - 1, 0), 0)
+        pltpu.make_async_copy(
+            ksrc_ref.at[pl.ds(rd0, _READ_ROWS), :], kbuf.at[slot], sem_rd.at[slot, 0]
+        ).start()
+        pltpu.make_async_copy(
+            vsrc_ref.at[pl.ds(rd0, _READ_ROWS), :], vbuf.at[slot], sem_rd.at[slot, 1]
+        ).start()
+
+    def read_chunk_wait(run, slot):
+        src = s_ref[run]
+        dst = d_ref[run]
+        ln = l_ref[run]
+        dq = (dst - src - (dst - src) % LANES) // LANES
+        hi0 = dst // LANES - dq
+        rd0 = jnp.where(ln > 0, jnp.maximum(hi0 - 1, 0), 0)
+        pltpu.make_async_copy(
+            ksrc_ref.at[pl.ds(rd0, _READ_ROWS), :], kbuf.at[slot], sem_rd.at[slot, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            vsrc_ref.at[pl.ds(rd0, _READ_ROWS), :], vbuf.at[slot], sem_rd.at[slot, 1]
+        ).wait()
+
+    def write_wait(slot):
+        pltpu.make_async_copy(
+            kout.at[slot], kdst_ref.at[pl.ds(slack_row, CH_ROWS), :], sem_wr.at[slot, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            vout.at[slot], vdst_ref.at[pl.ds(slack_row, CH_ROWS), :], sem_wr.at[slot, 1]
+        ).wait()
+
+    slot = i % 2
+
+    @pl.when(i == 0)
+    def _():
+        read_chunk_start(0, 0)
+
+    read_chunk_wait(i, slot)
+
+    # prefetch next run's read before stalling on anything else
+    @pl.when(i + 1 < nruns)
+    def _():
+        read_chunk_start(i + 1, (i + 1) % 2)
+
+    src = s_ref[i]
+    dst = d_ref[i]
+    ln = l_ref[i]
+    delta = dst - src
+    rot = delta % LANES
+    dq = (delta - rot) // LANES
+    dst_r0 = dst // LANES
+    dst_l0 = dst % LANES
+    n_out_rows = (dst_l0 + ln + LANES - 1) // LANES
+    nchunks = (n_out_rows + CH_ROWS - 1) // CH_ROWS
+    lanes2 = _lanes((CH_ROWS, LANES))
+    rows2 = _rows((CH_ROWS, LANES))
+    idx = (lanes2 - rot) % LANES
+
+    def rotate(tile_hi, tile_lo, carry, is_first):
+        a = jnp.take_along_axis(tile_hi, idx, axis=1)
+        b = jnp.take_along_axis(tile_lo, idx, axis=1)
+        out = jnp.where(lanes2 >= rot, a, b)
+        return jnp.where(is_first & (rows2 == 0) & (lanes2 < dst_l0), carry[0], out)
+
+    # --- chunk 0 (pipelined) --------------------------------------------
+    # compute BEFORE waiting the previous write: pure VPU work
+    src0 = s_ref[i]
+    hi0 = dst_r0 - dq
+    rd0 = jnp.maximum(hi0 - 1, 0)
+    base = hi0 - rd0
+
+    def first_chunk(buf, carry):
+        hi = buf[slot, pl.ds(base, CH_ROWS), :]
+        lo_ = buf[slot, pl.ds(jnp.maximum(base - 1, 0), CH_ROWS), :]
+        return rotate(hi, lo_, carry, ln > 0)
+
+    k0 = first_chunk(kbuf, kcarry)
+    v0 = first_chunk(vbuf, vcarry)
+    kout[slot] = k0
+    vout[slot] = v0
+    last0 = n_out_rows - 1
+
+    @pl.when((ln > 0) & (last0 < CH_ROWS))
+    def _():
+        kcarry[0] = kout[slot, last0, :]
+        vcarry[0] = vout[slot, last0, :]
+
+    # previous step's write must complete before we touch the shared
+    # boundary row (and before slot reuse)
+    @pl.when(i > 0)
+    def _():
+        write_wait(1 - slot)
+
+    wrow = jnp.where(ln > 0, dst_r0, slack_row)
+    pltpu.make_async_copy(
+        kout.at[slot], kdst_ref.at[pl.ds(wrow, CH_ROWS), :], sem_wr.at[slot, 0]
+    ).start()
+    pltpu.make_async_copy(
+        vout.at[slot], vdst_ref.at[pl.ds(wrow, CH_ROWS), :], sem_wr.at[slot, 1]
+    ).start()
+
+    # --- extra chunks (serial path, rare: run longer than CH_ROWS) -------
+    @pl.when(nchunks > 1)
+    def _():
+        def chunk_body(c, _):
+            hi0c = dst_r0 + c * CH_ROWS - dq
+            rd0c = jnp.maximum(hi0c - 1, 0)
+            basec = hi0c - rd0c
+            rk = pltpu.make_async_copy(
+                ksrc_ref.at[pl.ds(rd0c, _READ_ROWS), :], kbuf.at[2], sem_x.at[0]
+            )
+            rv = pltpu.make_async_copy(
+                vsrc_ref.at[pl.ds(rd0c, _READ_ROWS), :], vbuf.at[2], sem_x.at[1]
+            )
+            rk.start(); rv.start(); rk.wait(); rv.wait()
+
+            def mk(buf):
+                hi = buf[2, pl.ds(basec, CH_ROWS), :]
+                lo_ = buf[2, pl.ds(jnp.maximum(basec - 1, 0), CH_ROWS), :]
+                return rotate(hi, lo_, kcarry, False)
+
+            kc = mk(kbuf)
+            vc_hi = vbuf[2, pl.ds(basec, CH_ROWS), :]
+            vc_lo = vbuf[2, pl.ds(jnp.maximum(basec - 1, 0), CH_ROWS), :]
+            vc = jnp.where(lanes2 >= rot, jnp.take_along_axis(vc_hi, idx, axis=1),
+                           jnp.take_along_axis(vc_lo, idx, axis=1))
+            kout[2] = kc
+            vout[2] = vc
+            lastc = last0 - c * CH_ROWS
+
+            @pl.when((lastc >= 0) & (lastc < CH_ROWS))
+            def _():
+                kcarry[0] = kout[2, lastc, :]
+                vcarry[0] = vout[2, lastc, :]
+
+            wk = pltpu.make_async_copy(
+                kout.at[2], kdst_ref.at[pl.ds(dst_r0 + c * CH_ROWS, CH_ROWS), :], sem_x.at[2]
+            )
+            wv = pltpu.make_async_copy(
+                vout.at[2], vdst_ref.at[pl.ds(dst_r0 + c * CH_ROWS, CH_ROWS), :], sem_x.at[3]
+            )
+            wk.start(); wv.start(); wk.wait(); wv.wait()
+            return 0
+
+        jax.lax.fori_loop(1, nchunks, chunk_body, 0)
+
+    # drain the last step's own write
+    @pl.when(i == nruns - 1)
+    def _():
+        write_wait(slot)
+
+
+def _splice_kv(srcs, dsts, lens, flat_k, flat_v, total_rows, interpret):
+    """K2: sequential run splicer over both streams. flat_k/flat_v:
+    (rows, 128) padded sources. Returns spliced (keys, values)."""
+    nruns = srcs.shape[0]
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    out_shape = jax.ShapeDtypeStruct((total_rows, LANES), jnp.uint32)
+    ok, ov = pl.pallas_call(
+        _splice_kernel_body,
+        grid=(nruns,),
+        in_specs=[smem, smem, smem, anyspec, anyspec],
+        out_specs=[anyspec, anyspec],
+        out_shape=[out_shape, out_shape],
+        scratch_shapes=[
+            pltpu.VMEM((3, _READ_ROWS, LANES), jnp.uint32),   # k read bounce (2 pipelined + 1 serial)
+            pltpu.VMEM((3, _READ_ROWS, LANES), jnp.uint32),   # v read bounce
+            pltpu.VMEM((3, CH_ROWS, LANES), jnp.uint32),      # k write bounce
+            pltpu.VMEM((3, CH_ROWS, LANES), jnp.uint32),      # v write bounce
+            pltpu.VMEM((8, LANES), jnp.uint32),               # k carry (row 0)
+            pltpu.VMEM((8, LANES), jnp.uint32),               # v carry (row 0)
+            pltpu.SemaphoreType.DMA((2, 2)),                  # pipelined reads
+            pltpu.SemaphoreType.DMA((2, 2)),                  # pipelined writes
+            pltpu.SemaphoreType.DMA((4,)),                    # serial extra chunks
         ],
-        out_specs=pl.BlockSpec((group_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(keys2d.shape, jnp.int32),
-        interpret=interp,
-    )(shift_arr, keys2d, bases)
-    return dest.reshape(-1)
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(srcs, dsts, lens, flat_k, flat_v)
+    return ok, ov
 
 
-@partial(jax.jit, static_argnames=("num_steps",))
-def _sort_padded(keys: jax.Array, values, num_steps: int):
-    padded_n = keys.shape[0]
-    num_groups = padded_n // GROUP
+def _splice_k(srcs, dsts, lens, flat_k, total_rows, interpret):
+    """Keys-only splicer (values=None path): reuses the fused kernel with
+    the key stream duplicated — simple and rarely the hot path."""
+    ok, _ = _splice_kv(srcs, dsts, lens, flat_k, flat_k, total_rows, interpret)
+    return ok
 
-    def one_pass(step, keys, values):
-        keys2d = keys.reshape(num_groups * TILES_PER_GROUP * BLOCK_ROWS, LANES)
-        dest = _pass_dest(keys2d, step * RADIX_BITS, num_groups)
-        out_k = jnp.zeros_like(keys).at[dest].set(keys, unique_indices=True)
-        if values is None:
-            return out_k, None
-        return out_k, jnp.zeros_like(values).at[dest].set(values, unique_indices=True)
 
-    if values is None:
-        return jax.lax.fori_loop(0, num_steps, lambda s, k: one_pass(s, k, None)[0], keys), None
-    return jax.lax.fori_loop(
-        0, num_steps, lambda s, kv: one_pass(s, kv[0], kv[1]), (keys, values)
-    )
+def _run_descriptors(counts, R):
+    """counts: (B, 16) per-block digit counts. Returns (srcs, dsts, lens)
+    flat run descriptors in bucket-major (ascending dst) order — the glue
+    replacing the reference's BlellochScan over [digit][block]
+    (RadixSort.hpp:311)."""
+    B = counts.shape[0]
+    inblock = jnp.cumsum(counts, axis=1) - counts            # (B,FIELDS) src offset in block
+    srcs = (jnp.arange(B, dtype=jnp.int32)[:, None] * (R * LANES) + inblock).T.reshape(-1)
+    per_digit = jnp.cumsum(counts, axis=0) - counts          # (B,FIELDS) excl over blocks
+    totals = jnp.sum(counts, axis=0)
+    digit_base = jnp.cumsum(totals) - totals                 # (FIELDS,)
+    dsts = (digit_base[None, :] + per_digit).T.reshape(-1)
+    lens = counts.T.reshape(-1)
+    return srcs.astype(jnp.int32), dsts.astype(jnp.int32), lens.astype(jnp.int32)
+
+
+def _choose_block_rows(n: int) -> int:
+    """Pick the block height: smallest power-of-two row count whose block
+    covers n, capped at BLOCK_R (VMEM budget)."""
+    rows = max(8, -(-n // LANES))
+    r = 8
+    while r < rows and r < BLOCK_R:
+        r *= 2
+    return r
 
 
 def pallas_radix_sort(keys: jax.Array, values, num_steps: int):
-    """Stable LSD radix sort of u32 keys (+ optional u32 values), k passes."""
+    """Stable LSD radix sort of u32 keys (+ optional u32 values), k 4-bit
+    passes (reference operator() semantics, RadixSort.hpp:273)."""
+    interp = interpret_mode()
     n = keys.shape[0]
-    padded_n = round_up(max(n, GROUP), GROUP)
-    if padded_n != n:
-        keys = jnp.pad(keys, (0, padded_n - n), constant_values=jnp.uint32(0xFFFFFFFF))
-        if values is not None:
-            values = jnp.pad(values, (0, padded_n - n))
-    keys, values = _sort_padded(keys, values, num_steps)
-    if padded_n != n:
-        keys = keys[:n]
-        if values is not None:
-            values = values[:n]
-    return keys, values
+    R = _choose_block_rows(n)
+    S = R * LANES
+    padded = -(-n // S) * S
+    num_blocks = padded // S
+    total_rows = padded // LANES
+
+    kp = jnp.pad(keys, (0, padded - n), constant_values=jnp.uint32(0xFFFFFFFF))
+    vp = jnp.pad(values, (0, padded - n)) if values is not None else None
+
+    # splicer slack: reads/writes may overshoot by up to a chunk
+    def with_slack(x2d):
+        return jnp.pad(x2d, ((0, _SLACK_ROWS), (0, 0)))
+
+    k2 = kp.reshape(total_rows, LANES)
+    v2 = vp.reshape(total_rows, LANES) if vp is not None else None
+
+    internal_passes = num_steps * (RADIX_BITS // FIELD_BITS)
+    for step in range(internal_passes):
+        shift_arr = jnp.array([step * FIELD_BITS], dtype=jnp.int32)
+        gk, gv, counts = _group_pass(shift_arr, k2, v2, R, interp)
+        if num_blocks == 1:
+            # single block: grouping IS the global pass (splice is identity)
+            k2 = gk
+            v2 = gv
+            continue
+        srcs, dsts, lens = _run_descriptors(counts, R)
+        if gv is not None:
+            k2, v2 = _splice_kv(
+                srcs, dsts, lens, with_slack(gk), with_slack(gv),
+                total_rows + _SLACK_ROWS, interp,
+            )
+            k2, v2 = k2[:total_rows], v2[:total_rows]
+        else:
+            k2 = _splice_k(
+                srcs, dsts, lens, with_slack(gk), total_rows + _SLACK_ROWS, interp
+            )[:total_rows]
+
+    out_k = k2.reshape(-1)[:n]
+    out_v = v2.reshape(-1)[:n] if v2 is not None else None
+    return out_k, out_v
