@@ -42,7 +42,7 @@ def _sync(tree):
     import numpy as np
 
     for leaf in jax.tree.leaves(tree):
-        np.asarray(leaf[:1])
+        np.asarray(leaf if getattr(leaf, "ndim", 0) == 0 else leaf[:1])
 
 
 def _time_best(fn, *args, reps=3):
@@ -109,17 +109,65 @@ def full_table(backend):
         print(f"{n:>12} {_fmt_ms(t)}  {n / t / 1e6:8.1f} M keys/s")
 
 
+def bench_dist(n, backend, reps=2, capacity_factor=1.5):
+    """Distributed sort throughput + scaling efficiency over all local
+    devices (the BASELINE.json multi-host metric; on a pod slice run this
+    per-host under jax.distributed)."""
+    from glu_tpu.parallel import distributed_radix_sort, make_sort_mesh
+
+    devices = jax.devices()
+    d = len(devices)
+    n = (n // d) * d
+    keys = _rand_u32(n, 5)
+    vals = jnp.arange(n, dtype=jnp.uint32)
+    mesh = make_sort_mesh(devices)
+    spec = jax.sharding.PartitionSpec("shards")
+    sharding = jax.sharding.NamedSharding(mesh, spec)
+    keys = jax.device_put(keys, sharding)
+    vals = jax.device_put(vals, sharding)
+
+    def run():
+        return distributed_radix_sort(
+            keys, vals, mesh, backend=backend, capacity_factor=capacity_factor
+        )
+
+    _sync(run())
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _sync(run())
+        best = min(best, time.perf_counter() - t0)
+
+    single = bench_sort(n // d, backend, reps=reps)  # one-device reference
+    eff = (n / best) / (d * (n // d) / single) if single > 0 else float("nan")
+    print(
+        json.dumps(
+            {
+                "metric": f"dist_sort_keys_per_sec_n{n}_d{d}",
+                "value": round(n / best, 1),
+                "unit": "keys/s",
+                "devices": d,
+                "scaling_efficiency_vs_1dev": round(eff, 3),
+            }
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=268_435_456)
     ap.add_argument("--backend", default=None, choices=[None, "pallas", "xla"])
     ap.add_argument("--table", action="store_true", help="print the full reference size ladder")
+    ap.add_argument("--dist", action="store_true", help="distributed sort over all local devices")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
     backend = resolve_backend(args.backend)
     if args.table:
         full_table(backend)
+        return
+    if args.dist:
+        bench_dist(args.n, backend, reps=args.reps)
         return
 
     n = args.n

@@ -51,6 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ._pallas_common import interpret_mode
+from ..utils.log import vlog
 from .radix_sort import RADIX_BITS
 
 LANES = 128
@@ -90,6 +91,24 @@ def _col_cumsum_incl(x, rows_n):
     return x
 
 
+def _narrow_cumsum_incl(col, R):
+    """Inclusive cumsum of an (R, 1) column. A direct sublane log-scan runs
+    at 1/128 lane utilization; for R a multiple of 128 the column is
+    reshaped to (R/128, 128) and scanned in row-major order at full VPU
+    width, then reshaped back."""
+    if R % LANES != 0 or R < LANES:
+        return _col_cumsum_incl(col, R)
+    t = col.reshape(R // LANES, LANES)
+    lanes = _lanes(t.shape)
+    s = 1
+    while s < LANES:
+        t = t + jnp.where(lanes >= s, pltpu.roll(t, s, axis=1), 0)
+        s *= 2
+    totals = t[:, LANES - 1 : LANES]
+    row_pre = _col_cumsum_incl(totals, R // LANES) - totals
+    return (t + row_pre).reshape(R, 1)
+
+
 def _split_round(k, v, bit):
     """One stable 1-bit split of a (R, 128) block in row-major order."""
     R = k.shape[0]
@@ -98,7 +117,7 @@ def _split_round(k, v, bit):
     z = 1 - bit
     cumZ = _inrow_cumsum(z)                       # inclusive zeros per row
     c0 = cumZ[:, LANES - 1 : LANES]               # (R,1)
-    Zin = _col_cumsum_incl(c0, R)
+    Zin = _narrow_cumsum_incl(c0, R)
     Zex = Zin - c0                                # zeros before this row
     n0 = Zin[R - 1, 0]                            # total zeros
     Oex = _rows((R, 1)) * LANES - Zex             # ones before this row
@@ -119,12 +138,12 @@ def _split_round(k, v, bit):
 
     # b. route to final lane + dest-row tag
     def route(Fc, base, cnt):
-        rank = (lanes - Fc) % LANES
+        rank = (lanes - Fc) & (LANES - 1)   # floor-mod: & works for negatives
         src = jnp.clip(base + rank, 0, LANES - 1)
         rk = jnp.take_along_axis(gk, src, axis=1)
         rv = jnp.take_along_axis(gv, src, axis=1) if gv is not None else None
         valid = rank < cnt
-        q = (Fc // LANES) + jnp.where(lanes < (Fc % LANES), 1, 0)
+        q = (Fc >> 7) + jnp.where(lanes < (Fc & (LANES - 1)), 1, 0)
         d = jnp.where(valid, jnp.abs(q - rows), 0)
         meta = jnp.where(valid, (d << 1) | 1, 0)
         return rk, rv, meta
@@ -483,6 +502,11 @@ def pallas_radix_sort(keys: jax.Array, values, num_steps: int):
     padded = -(-n // S) * S
     num_blocks = padded // S
     total_rows = padded // LANES
+    vlog(
+        "radix_sort n=%d: R=%d blocks=%d passes=%d splice_runs/pass=%d",
+        n, R, num_blocks, num_steps * (RADIX_BITS // FIELD_BITS),
+        num_blocks * FIELDS if num_blocks > 1 else 0,
+    )
 
     kp = jnp.pad(keys, (0, padded - n), constant_values=jnp.uint32(0xFFFFFFFF))
     vp = jnp.pad(values, (0, padded - n)) if values is not None else None

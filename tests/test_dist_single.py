@@ -1,0 +1,54 @@
+"""Amalgamation checks — analog of the reference's compile-only dist tests
+(test/generated/*.cpp, test/CMakeLists.txt:7-10): the generated single file
+must import standalone and produce identical results to the package."""
+
+import pathlib
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+ROOT = pathlib.Path(__file__).parent.parent
+
+
+@pytest.fixture(scope="module")
+def single_module(tmp_path_factory):
+    # regenerate, then import from dist/ in isolation
+    subprocess.run([sys.executable, str(ROOT / "generate.py")], check=True, cwd=ROOT)
+    sys.path.insert(0, str(ROOT / "dist"))
+    try:
+        import glu_tpu_single as single  # noqa: PLC0415
+
+        yield single
+    finally:
+        sys.path.remove(str(ROOT / "dist"))
+
+
+def test_single_file_ops_match_package(single_module, seeded_rng):
+    rng = seeded_rng(1)
+    data = rng.sample_int_vector(4096, 0, 1000)
+
+    got_sum = single_module.reduce(jnp.asarray(data), single_module.ReduceOperator.SUM, backend="xla")
+    assert np.uint32(np.asarray(got_sum)) == data.sum(dtype=np.uint32)
+
+    got_scan = np.asarray(single_module.exclusive_scan(jnp.asarray(data), backend="xla"))
+    inc = np.cumsum(data, dtype=np.uint32)
+    np.testing.assert_array_equal(got_scan, inc - data)
+
+    keys = rng.sample_int_vector(5000, 0, 0xFFFFFFFE)
+    vals = np.arange(keys.size, dtype=np.uint32)
+    ok, ov = single_module.radix_sort(jnp.asarray(keys), jnp.asarray(vals), backend="xla")
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(ok), keys[order])
+    np.testing.assert_array_equal(np.asarray(ov), order.astype(np.uint32))
+
+
+def test_single_file_has_full_surface(single_module):
+    for name in [
+        "DataType", "ReduceOperator", "Reduce", "BlellochScan", "RadixSort",
+        "reduce", "exclusive_scan", "radix_sort", "radix_sort_keys",
+        "DeviceBuffer", "distributed_radix_sort",
+    ]:
+        assert hasattr(single_module, name), name

@@ -63,6 +63,8 @@ def test_sort_low_entropy(backend, seeded_rng):
 def test_sort_odd_sizes(size, backend, seeded_rng):
     # analog of RadixSort-multiple-sizes (radix_sort_tests.cpp:136-158):
     # odd non-power-of-2 sizes, full-range keys
+    if backend == "pallas" and size > 20000:
+        pytest.skip("interpret-mode kernels kept to small sizes for suite speed")
     rng = seeded_rng(size)
     keys = rng.sample_int_vector(size, 0, 0xFFFFFFFE)
     out_k, out_v = _run_sort(keys, backend)
@@ -74,7 +76,7 @@ def test_sort_odd_sizes(size, backend, seeded_rng):
 @pytest.mark.parametrize("kind", ["presorted", "reverse", "constant"])
 def test_sort_adversarial_orders(kind, backend):
     # BASELINE.json configs: pre-sorted, reverse, low-entropy
-    n = 8192
+    n = 8192 if backend != "pallas" else 4096
     if kind == "presorted":
         keys = np.arange(n, dtype=np.uint32)
     elif kind == "reverse":
