@@ -31,7 +31,7 @@ from .utils.buffers import DeviceBuffer, copy_buffer
 from .utils.timing import measure_elapsed_time
 from .ops.reduce import Reduce, ReduceOperator, reduce
 from .ops.scan import BlellochScan, exclusive_scan
-from .ops.radix_sort import RadixSort, radix_sort, radix_sort_keys
+from .ops.radix_sort import RadixSort, radix_sort, radix_sort_f32, radix_sort_keys
 
 __version__ = "0.1.0"
 
@@ -61,5 +61,6 @@ __all__ = [
     "exclusive_scan",
     "RadixSort",
     "radix_sort",
+    "radix_sort_f32",
     "radix_sort_keys",
 ]

@@ -13,4 +13,4 @@ Each operator has:
 
 from .reduce import Reduce, ReduceOperator, reduce
 from .scan import BlellochScan, exclusive_scan
-from .radix_sort import RadixSort, radix_sort, radix_sort_keys
+from .radix_sort import RadixSort, radix_sort, radix_sort_f32, radix_sort_keys

@@ -144,6 +144,44 @@ def radix_sort_keys(keys: jax.Array, num_steps: int = 0, *, backend: str | None 
     return _radix_sort_k(keys, steps, resolve_backend(backend))
 
 
+def _f32_to_sortable_u32(x: jax.Array) -> jax.Array:
+    """Order-preserving bijection f32 -> u32 (IEEE-754 total order trick):
+    flip all bits of negatives, flip only the sign bit of non-negatives."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    mask = jnp.where(u >> 31 == 1, jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000))
+    return u ^ mask
+
+
+def _sortable_u32_to_f32(u: jax.Array) -> jax.Array:
+    mask = jnp.where(u >> 31 == 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000))
+    return jax.lax.bitcast_convert_type(u ^ mask, jnp.float32)
+
+
+def radix_sort_f32(
+    keys: jax.Array,
+    values: jax.Array,
+    *,
+    backend: str | None = None,
+):
+    """Stably sort (f32 key, u32 value) pairs — an extension beyond the
+    reference, which supports u32 keys only (reference README.md:88-89).
+
+    Keys ride the same u32 engine through the standard order-preserving
+    bit transform (negatives fully flipped, positives sign-flipped), which
+    realizes IEEE-754 total order: -inf < ... < -0.0 < +0.0 < ... < +inf,
+    with NaNs at the extremes by sign bit.
+    """
+    check_argument(keys.ndim == 1 and values.ndim == 1, "keys/values must be 1-D")
+    check_argument(keys.shape == values.shape, "keys/values length mismatch")
+    check_argument(keys.dtype == jnp.float32, "keys must be float32, got %s", keys.dtype)
+    if keys.shape[0] <= 1:
+        return keys, values
+    ku, out_v = _radix_sort_kv(
+        _f32_to_sortable_u32(keys), values, NUM_PASSES, resolve_backend(backend)
+    )
+    return _sortable_u32_to_f32(ku), out_v
+
+
 class RadixSort:
     """Radix sort operator object (reference glu/RadixSort.hpp:186-354).
 

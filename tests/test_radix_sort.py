@@ -155,3 +155,26 @@ def test_sort_class_count_subset(backend, seeded_rng):
     RadixSort()(kbuf, vbuf, 60, backend=backend)
     check_stable_pairs(keys[:60], kbuf.get_data()[:60], vbuf.get_data()[:60])
     np.testing.assert_array_equal(kbuf.get_data()[60:], keys[60:])
+
+
+def test_sort_f32_keys(backend, seeded_rng):
+    # beyond-reference extension: f32 keys via the order-preserving u32
+    # bijection (negatives, zeros, infs all in IEEE total order)
+    from glu_tpu import radix_sort_f32
+
+    rng = seeded_rng(21)
+    keys = np.concatenate([
+        rng.rng.uniform(-1e9, 1e9, 4000).astype(np.float32),
+        np.array([0.0, -0.0, np.inf, -np.inf, 1e-45, -1e-45], dtype=np.float32),
+    ])
+    vals = np.arange(keys.size, dtype=np.uint32)
+    out_k, out_v = radix_sort_f32(jnp.asarray(keys), jnp.asarray(vals), backend=backend)
+    out_k, out_v = np.asarray(out_k), np.asarray(out_v)
+    # oracle in IEEE-754 TOTAL order (numpy argsort treats -0.0 == +0.0;
+    # the documented contract is total order, where -0.0 < +0.0): apply the
+    # same monotone bijection and stably sort the u32 images
+    u = keys.view(np.uint32)
+    tot = np.where(u >> 31 == 1, u ^ np.uint32(0xFFFFFFFF), u ^ np.uint32(0x80000000))
+    order = np.argsort(tot, kind="stable")
+    np.testing.assert_array_equal(out_k.view(np.uint32), keys[order].view(np.uint32))
+    np.testing.assert_array_equal(out_v, order.astype(np.uint32))
