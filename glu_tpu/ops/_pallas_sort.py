@@ -492,6 +492,57 @@ def _choose_block_rows(n: int) -> int:
     return r
 
 
+def _single_block_sort(shift_unused, keys2d, values2d, R, num_steps, interpret):
+    """Fused path for single-block inputs: all num_steps*FIELD-bit splits in
+    ONE kernel invocation (the splice is the identity when there is only one
+    block, so the whole LSD sort collapses into one VMEM-resident kernel —
+    8 dispatch+glue round trips fewer than the general path; the analog of
+    how the reference's small sorts are dominated by its per-pass dispatch
+    overhead, README.md:120-125)."""
+    nbits = num_steps * RADIX_BITS
+
+    def kernel(k_ref, v_ref, ok_ref, ov_ref):
+        def body(b, kv):
+            k, v = kv
+            bit = ((k >> b.astype(jnp.uint32)) & jnp.uint32(1)).astype(jnp.int32)
+            return _split_round(k, v, bit)
+
+        k, v = jax.lax.fori_loop(0, nbits, body, (k_ref[:], v_ref[:]))
+        ok_ref[:] = k
+        ov_ref[:] = v
+
+    def kernel_k(k_ref, ok_ref):
+        def body(b, k):
+            bit = ((k >> b.astype(jnp.uint32)) & jnp.uint32(1)).astype(jnp.int32)
+            return _split_round(k, None, bit)[0]
+
+        ok_ref[:] = jax.lax.fori_loop(0, nbits, body, k_ref[:])
+
+    spec = pl.BlockSpec((R, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct(keys2d.shape, jnp.uint32)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    if values2d is not None:
+        return pl.pallas_call(
+            kernel,
+            grid=(1,),
+            in_specs=[spec, spec],
+            out_specs=[spec, spec],
+            out_shape=[shape, shape],
+            interpret=interpret,
+            compiler_params=params,
+        )(keys2d, values2d)
+    out = pl.pallas_call(
+        kernel_k,
+        grid=(1,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=shape,
+        interpret=interpret,
+        compiler_params=params,
+    )(keys2d)
+    return out, None
+
+
 def pallas_radix_sort(keys: jax.Array, values, num_steps: int):
     """Stable LSD radix sort of u32 keys (+ optional u32 values), k 4-bit
     passes (reference operator() semantics, RadixSort.hpp:273)."""
@@ -518,15 +569,28 @@ def pallas_radix_sort(keys: jax.Array, values, num_steps: int):
     k2 = kp.reshape(total_rows, LANES)
     v2 = vp.reshape(total_rows, LANES) if vp is not None else None
 
+    if num_blocks == 1 and R <= 512:
+        # small single block: the whole sort fuses into ONE kernel — no
+        # splices, no per-pass glue (bit-by-bit LSD = 4-bit-by-4-bit LSD)
+        k2, v2 = _single_block_sort(None, k2, v2, R, num_steps, interp)
+        out_k = k2.reshape(-1)[:n]
+        out_v = v2.reshape(-1)[:n] if v2 is not None else None
+        return out_k, out_v
+    if num_blocks == 1:
+        # one max-size block: per-pass grouping, splice is the identity
+        # (the fused form compiles to much slower code at R=1024)
+        internal_passes = num_steps * (RADIX_BITS // FIELD_BITS)
+        for step in range(internal_passes):
+            shift_arr = jnp.array([step * FIELD_BITS], dtype=jnp.int32)
+            k2, v2, _ = _group_pass(shift_arr, k2, v2, R, interp)
+        out_k = k2.reshape(-1)[:n]
+        out_v = v2.reshape(-1)[:n] if v2 is not None else None
+        return out_k, out_v
+
     internal_passes = num_steps * (RADIX_BITS // FIELD_BITS)
     for step in range(internal_passes):
         shift_arr = jnp.array([step * FIELD_BITS], dtype=jnp.int32)
         gk, gv, counts = _group_pass(shift_arr, k2, v2, R, interp)
-        if num_blocks == 1:
-            # single block: grouping IS the global pass (splice is identity)
-            k2 = gk
-            v2 = gv
-            continue
         srcs, dsts, lens = _run_descriptors(counts, R)
         if gv is not None:
             k2, v2 = _splice_kv(
