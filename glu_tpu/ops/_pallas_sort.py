@@ -195,9 +195,13 @@ def _counts_row(k, shift):
     return res
 
 
-def _group_pass(shift_arr, keys2d, values2d, R, interpret):
-    """K1: returns (grouped keys, grouped values | None, counts (B, 16))."""
-    num_blocks = keys2d.shape[0] // R
+def _group_pass(shift_arr, keys2d, values2d, R, interpret, num_blocks=None):
+    """K1: returns (grouped keys, grouped values | None, counts (B, FIELDS)).
+    keys2d may carry trailing slack rows (excluded via num_blocks); grid
+    steps only touch rows [0, num_blocks*R), the slack region passes
+    through unwritten (don't-care for the splicer's over-reads)."""
+    if num_blocks is None:
+        num_blocks = keys2d.shape[0] // R
     data_spec = pl.BlockSpec((R, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     cnt_spec = pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     data_shape = jax.ShapeDtypeStruct(keys2d.shape, jnp.uint32)
@@ -561,10 +565,6 @@ def pallas_radix_sort(keys: jax.Array, values, num_steps: int):
     kp = jnp.pad(keys, (0, padded - n), constant_values=jnp.uint32(0xFFFFFFFF))
     vp = jnp.pad(values, (0, padded - n)) if values is not None else None
 
-    # splicer slack: reads/writes may overshoot by up to a chunk
-    def with_slack(x2d):
-        return jnp.pad(x2d, ((0, _SLACK_ROWS), (0, 0)))
-
     k2 = kp.reshape(total_rows, LANES)
     v2 = vp.reshape(total_rows, LANES) if vp is not None else None
 
@@ -586,22 +586,24 @@ def pallas_radix_sort(keys: jax.Array, values, num_steps: int):
         out_v = v2.reshape(-1)[:n] if v2 is not None else None
         return out_k, out_v
 
+    # splicer slack rows are allocated ONCE and carried through all passes
+    # (re-padding each pass would copy the full arrays 2x per pass); the
+    # slack region holds garbage and is excluded from the group grid and
+    # from the final slice.
+    rows_slacked = total_rows + _SLACK_ROWS
+    k2 = jnp.pad(k2, ((0, _SLACK_ROWS), (0, 0)))
+    v2 = jnp.pad(v2, ((0, _SLACK_ROWS), (0, 0))) if v2 is not None else None
+
     internal_passes = num_steps * (RADIX_BITS // FIELD_BITS)
     for step in range(internal_passes):
         shift_arr = jnp.array([step * FIELD_BITS], dtype=jnp.int32)
-        gk, gv, counts = _group_pass(shift_arr, k2, v2, R, interp)
+        gk, gv, counts = _group_pass(shift_arr, k2, v2, R, interp, num_blocks)
         srcs, dsts, lens = _run_descriptors(counts, R)
         if gv is not None:
-            k2, v2 = _splice_kv(
-                srcs, dsts, lens, with_slack(gk), with_slack(gv),
-                total_rows + _SLACK_ROWS, interp,
-            )
-            k2, v2 = k2[:total_rows], v2[:total_rows]
+            k2, v2 = _splice_kv(srcs, dsts, lens, gk, gv, rows_slacked, interp)
         else:
-            k2 = _splice_k(
-                srcs, dsts, lens, with_slack(gk), total_rows + _SLACK_ROWS, interp
-            )[:total_rows]
+            k2 = _splice_k(srcs, dsts, lens, gk, rows_slacked, interp)
 
-    out_k = k2.reshape(-1)[:n]
-    out_v = v2.reshape(-1)[:n] if v2 is not None else None
+    out_k = k2[:total_rows].reshape(-1)[:n]
+    out_v = v2[:total_rows].reshape(-1)[:n] if v2 is not None else None
     return out_k, out_v
