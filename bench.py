@@ -262,7 +262,16 @@ def _device_verify(in_keys, out_k, out_v):
         )
     )
     stable_ok = jnp.all(jnp.where(out_k[1:] == out_k[:-1], out_v[1:] > out_v[:-1], True))
-    return sorted_ok & perm_ok & vperm_ok & stable_ok
+    # pairing checksum: multiset of nonlinear (key, value) combines must match
+    # the input's (key, iota) multiset — catches values swapped between
+    # positions holding different keys, which the independent multiset checks
+    # above would miss
+    iota = jnp.arange(in_keys.shape[0], dtype=jnp.uint32)
+    mix = lambda k, v: (k * jnp.uint32(0x9E3779B9)) ^ v
+    pair_ok = jnp.all(
+        jnp.array([a == b for a, b in zip(chks(mix(in_keys, iota)), chks(mix(out_k, out_v)))])
+    )
+    return sorted_ok & perm_ok & vperm_ok & stable_ok & pair_ok
 
 
 def run_checks(n, backend):

@@ -57,11 +57,21 @@ LANES = 128
 FIELD_BITS = 4                 # bits grouped per internal pass (= one
                                # reference-visible 4-bit pass)
 FIELDS = 1 << FIELD_BITS
+
+# Engine geometry. Module-level (not baked into closures) so tests can shrink
+# them to force every multi-block splicer path — carry rows, misaligned run
+# boundaries, empty runs, nchunks>1 serial chunks — at tiny n in interpret
+# mode. Kernels read these at trace time; callers monkeypatching them must
+# clear the host-level jit caches (tests/test_splicer.py does).
 BLOCK_R = 1024                 # rows per block; block = 131072 elements
-BLOCK_S = BLOCK_R * LANES
 CH_ROWS = 72                   # covers a typical run (BLOCK_R/FIELDS rows) + misaligned boundary
 _READ_ROWS = CH_ROWS + 8       # DMA read size (sublane-aligned, covers CH+1 rows)
-_SLACK_ROWS = 2 * CH_ROWS + _READ_ROWS  # src/dst over-read/-write padding
+_FUSE_MAX_R = 512              # largest single block the fused whole-sort kernel handles
+
+
+def _slack_rows() -> int:
+    """Splicer src/dst over-read/-write padding (derived from live geometry)."""
+    return 2 * CH_ROWS + _READ_ROWS
 
 
 def _lanes(shape):
@@ -265,8 +275,10 @@ def _splice_kernel_body(s_ref, d_ref, l_ref, ksrc_ref, vsrc_ref, kdst_ref, vdst_
     Index algebra: delta = dst - src, rot = delta mod 128,
     dq = (delta - rot)/128. Output row j, lane l takes
     src[(dst_row + j) - dq - (1 if l < rot else 0), (l - rot) mod 128].
-    Reads cover _READ_ROWS source rows (clamped at 0: clamped lanes lie
-    before the run's own start and are rewritten by design). Writes are
+    Reads cover _READ_ROWS source rows starting one row before the first
+    needed hi row; when that pre-row would be source row -1 the read clamps
+    to 0 and the lo tile is realigned by a one-row roll (see `tiles`).
+    Writes are
     whole CH_ROWS chunks; spill beyond the run's end is rewritten by later
     runs (ascending dst order) or lands in padded slack. kcarry/vcarry hold
     the previous run's last output row for the boundary merge.
@@ -344,6 +356,18 @@ def _splice_kernel_body(s_ref, d_ref, l_ref, ksrc_ref, vsrc_ref, kdst_ref, vdst_
         out = jnp.where(lanes2 >= rot, a, b)
         return jnp.where(is_first & (rows2 == 0) & (lanes2 < dst_l0), carry[0], out)
 
+    def tiles(buf, slot_, base_):
+        """(hi, lo) tiles with lo[j] = hi[j-1]. When the read window starts
+        at source row 0 (base_ == 0, the pre-window row doesn't exist), the
+        clamped second slice would alias hi — realign it with a one-row
+        roll instead; its row 0 is garbage, but row 0's lanes < rot are
+        always masked there (hi0 == 0 forces dst_l0 >= rot, so the carry
+        merge covers them)."""
+        hi = buf[slot_, pl.ds(base_, CH_ROWS), :]
+        lo_raw = buf[slot_, pl.ds(jnp.maximum(base_ - 1, 0), CH_ROWS), :]
+        lo = jnp.where(base_ > 0, lo_raw, pltpu.roll(lo_raw, 1, axis=0))
+        return hi, lo
+
     # --- chunk 0 (pipelined) --------------------------------------------
     # compute BEFORE waiting the previous write: pure VPU work
     src0 = s_ref[i]
@@ -352,8 +376,7 @@ def _splice_kernel_body(s_ref, d_ref, l_ref, ksrc_ref, vsrc_ref, kdst_ref, vdst_
     base = hi0 - rd0
 
     def first_chunk(buf, carry):
-        hi = buf[slot, pl.ds(base, CH_ROWS), :]
-        lo_ = buf[slot, pl.ds(jnp.maximum(base - 1, 0), CH_ROWS), :]
+        hi, lo_ = tiles(buf, slot, base)
         return rotate(hi, lo_, carry, ln > 0)
 
     k0 = first_chunk(kbuf, kcarry)
@@ -397,13 +420,11 @@ def _splice_kernel_body(s_ref, d_ref, l_ref, ksrc_ref, vsrc_ref, kdst_ref, vdst_
             rk.start(); rv.start(); rk.wait(); rv.wait()
 
             def mk(buf):
-                hi = buf[2, pl.ds(basec, CH_ROWS), :]
-                lo_ = buf[2, pl.ds(jnp.maximum(basec - 1, 0), CH_ROWS), :]
+                hi, lo_ = tiles(buf, 2, basec)
                 return rotate(hi, lo_, kcarry, False)
 
             kc = mk(kbuf)
-            vc_hi = vbuf[2, pl.ds(basec, CH_ROWS), :]
-            vc_lo = vbuf[2, pl.ds(jnp.maximum(basec - 1, 0), CH_ROWS), :]
+            vc_hi, vc_lo = tiles(vbuf, 2, basec)
             vc = jnp.where(lanes2 >= rot, jnp.take_along_axis(vc_hi, idx, axis=1),
                            jnp.take_along_axis(vc_lo, idx, axis=1))
             kout[2] = kc
@@ -568,7 +589,7 @@ def pallas_radix_sort(keys: jax.Array, values, num_steps: int):
     k2 = kp.reshape(total_rows, LANES)
     v2 = vp.reshape(total_rows, LANES) if vp is not None else None
 
-    if num_blocks == 1 and R <= 512:
+    if num_blocks == 1 and R <= _FUSE_MAX_R:
         # small single block: the whole sort fuses into ONE kernel — no
         # splices, no per-pass glue (bit-by-bit LSD = 4-bit-by-4-bit LSD)
         k2, v2 = _single_block_sort(None, k2, v2, R, num_steps, interp)
@@ -590,9 +611,10 @@ def pallas_radix_sort(keys: jax.Array, values, num_steps: int):
     # (re-padding each pass would copy the full arrays 2x per pass); the
     # slack region holds garbage and is excluded from the group grid and
     # from the final slice.
-    rows_slacked = total_rows + _SLACK_ROWS
-    k2 = jnp.pad(k2, ((0, _SLACK_ROWS), (0, 0)))
-    v2 = jnp.pad(v2, ((0, _SLACK_ROWS), (0, 0))) if v2 is not None else None
+    slack = _slack_rows()
+    rows_slacked = total_rows + slack
+    k2 = jnp.pad(k2, ((0, slack), (0, 0)))
+    v2 = jnp.pad(v2, ((0, slack), (0, 0))) if v2 is not None else None
 
     internal_passes = num_steps * (RADIX_BITS // FIELD_BITS)
     for step in range(internal_passes):

@@ -174,6 +174,7 @@ def radix_sort_f32(
     check_argument(keys.ndim == 1 and values.ndim == 1, "keys/values must be 1-D")
     check_argument(keys.shape == values.shape, "keys/values length mismatch")
     check_argument(keys.dtype == jnp.float32, "keys must be float32, got %s", keys.dtype)
+    check_argument(values.dtype == jnp.uint32, "values must be uint32, got %s", values.dtype)
     if keys.shape[0] <= 1:
         return keys, values
     ku, out_v = _radix_sort_kv(

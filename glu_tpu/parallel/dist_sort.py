@@ -46,16 +46,40 @@ def make_sort_mesh(devices=None, axis_name: str = "shards"):
 
 
 def _sample_splitters(keys, axis_name: str, num_devices: int, num_samples: int):
-    """Per-device strided key samples -> all-gather -> global quantile splitters."""
+    """Per-device strided (key, global index) samples -> all-gather -> global
+    quantile splitters in LEXICOGRAPHIC (key, index) order.
+
+    The index tiebreak makes every sampled element distinct, so quantiles
+    split duplicate-heavy distributions (all-equal keys included) into
+    balanced buckets — a key-only splitter would send every tied key to one
+    device. Returns (splitter_keys, splitter_indices)."""
     n = keys.shape[0]
+    me = jax.lax.axis_index(axis_name)
     stride = max(n // num_samples, 1)
-    local_samples = jax.lax.dynamic_slice(keys[:: stride], (0,), (min(num_samples, n),))
+    take = min(num_samples, n)
+    local_samples = jax.lax.dynamic_slice(keys[::stride], (0,), (take,))
+    # global index of local element i is me*n + i (device-major == stable
+    # global input order)
+    local_idx = (me * n + jnp.arange(take, dtype=jnp.uint32) * stride).astype(jnp.uint32)
     all_samples = jax.lax.all_gather(local_samples, axis_name, tiled=True)
-    sorted_samples = jnp.sort(all_samples)
-    m = sorted_samples.shape[0]
-    # splitter i = quantile (i+1)/D; bucket i takes keys in [s_{i-1}, s_i)
-    idx = (jnp.arange(1, num_devices, dtype=jnp.int32) * m) // num_devices
-    return sorted_samples[idx]
+    all_idx = jax.lax.all_gather(local_idx, axis_name, tiled=True)
+    sk, si = jax.lax.sort((all_samples, all_idx), num_keys=2)
+    m = sk.shape[0]
+    # splitter i = quantile (i+1)/D; bucket i takes pairs in [s_{i-1}, s_i)
+    q = (jnp.arange(1, num_devices, dtype=jnp.int32) * m) // num_devices
+    return sk[q], si[q]
+
+
+def _bucket_of(keys, axis_name: str, splitter_keys, splitter_idx):
+    """Destination bucket of each local element under lexicographic
+    (key, global index) order: the count of splitters <= (key, index)."""
+    n = keys.shape[0]
+    me = jax.lax.axis_index(axis_name)
+    gidx = (me * n + jnp.arange(n, dtype=jnp.uint32)).astype(jnp.uint32)
+    le = (splitter_keys[:, None] < keys[None, :]) | (
+        (splitter_keys[:, None] == keys[None, :]) & (splitter_idx[:, None] <= gidx[None, :])
+    )
+    return jnp.sum(le.astype(jnp.int32), axis=0)
 
 
 def _partition_to_buckets(keys, values, bucket, num_devices: int, capacity: int):
@@ -167,8 +191,8 @@ def _dist_sort_shard(
     keys, values, *, axis_name, num_devices, capacity, num_samples, backend, exchange
 ):
     """Per-shard body (runs under shard_map; keys/values are the local shard)."""
-    splitters = _sample_splitters(keys, axis_name, num_devices, num_samples)
-    bucket = jnp.searchsorted(splitters, keys, side="right").astype(jnp.int32)
+    sk, si = _sample_splitters(keys, axis_name, num_devices, num_samples)
+    bucket = _bucket_of(keys, axis_name, sk, si)
 
     if exchange == "ragged":
         bk, bv, counts, offsets = _compact_buckets(keys, values, bucket, num_devices)
@@ -208,6 +232,7 @@ def distributed_radix_sort(
     num_samples: int = 256,
     backend: str | None = None,
     exchange: str = "padded",
+    max_retries: int = 3,
 ):
     """Globally sort sharded u32 (key, value) pairs across `mesh`.
 
@@ -216,16 +241,23 @@ def distributed_radix_sort(
 
     Returns (keys, values, counts, overflow): keys/values are sharded
     [D * padded] arrays — device d's shard holds the d-th global key range,
-    sorted and stable, in its first counts[d] slots; overflow is nonzero if
-    capacity_factor was too small for the key skew (re-run with a larger
-    factor; results are then complete).
+    sorted and stable, in its first counts[d] slots; overflow is nonzero only
+    if capacity_factor doubled `max_retries` times still could not hold the
+    key skew (results are then incomplete — the overflowed elements were
+    dropped; pass a larger capacity_factor or max_retries).
 
     exchange: "padded" (dense all_to_all with per-(src,dst) block capacity
     capacity_factor*n_local/D — portable, but range-correlated inputs like
-    pre-sorted data concentrate whole shards into single blocks and need
+    pre-sorted data concentrate whole shards into single blocks and can need
     capacity_factor up to D) or "ragged" (jax.lax.ragged_all_to_all with
     receiver-side capacity capacity_factor*n_local — robust to block-level
     skew; XLA implements it for TPU, not CPU).
+
+    Overflow handling is LOSSLESS for max_retries > 0: inputs are never
+    donated, so when an attempt reports overflow the sort is simply re-run
+    with doubled capacity (a fresh XLA program; the failed attempt's outputs
+    are discarded). The device-side drop only ever reaches the caller on the
+    final attempt. Each retry costs one host round trip for the flag fetch.
     """
     num_devices = mesh.shape[axis_name]
     check_argument(keys.ndim == 1 and values.ndim == 1, "keys/values must be 1-D")
@@ -237,25 +269,37 @@ def distributed_radix_sort(
         num_devices,
     )
     local_n = keys.shape[0] // num_devices
-    capacity = int(np.ceil(capacity_factor * local_n / num_devices))
-
     spec = jax.sharding.PartitionSpec(axis_name)
-    body = partial(
-        _dist_sort_shard,
-        axis_name=axis_name,
-        num_devices=num_devices,
-        capacity=capacity,
-        num_samples=min(num_samples, local_n),
-        backend=backend,
-        exchange=exchange,
-    )
-    fn = jax.jit(
-        jax.shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(spec, spec),
-            out_specs=(spec, spec, spec, spec),
-            check_vma=False,
+
+    def attempt(cf: float):
+        capacity = int(np.ceil(cf * local_n / num_devices))
+        body = partial(
+            _dist_sort_shard,
+            axis_name=axis_name,
+            num_devices=num_devices,
+            capacity=capacity,
+            num_samples=min(num_samples, local_n),
+            backend=backend,
+            exchange=exchange,
         )
-    )
-    return fn(keys, values)
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(spec, spec),
+                out_specs=(spec, spec, spec, spec),
+                check_vma=False,
+            )
+        )
+        return fn(keys, values)
+
+    cf = capacity_factor
+    out = attempt(cf)
+    for _ in range(max_retries):
+        if not np.any(np.asarray(out[3])):
+            break
+        # ceiling: capacity D*local_n/D = local_n per (src,dst) block can
+        # hold ANY distribution, so doubling always terminates
+        cf = min(cf * 2.0, float(num_devices))
+        out = attempt(cf)
+    return out

@@ -1,8 +1,11 @@
 """Amalgamation checks — analog of the reference's compile-only dist tests
 (test/generated/*.cpp, test/CMakeLists.txt:7-10): the generated single file
-must import standalone and produce identical results to the package."""
+must import standalone, produce identical results to the package, and the
+COMMITTED dist/ artifact must match fresh generate.py output byte-for-byte
+(drift guard — the reference tests its shipped artifact, not a rebuild)."""
 
 import pathlib
+import shutil
 import subprocess
 import sys
 
@@ -14,16 +17,35 @@ ROOT = pathlib.Path(__file__).parent.parent
 
 
 @pytest.fixture(scope="module")
-def single_module(tmp_path_factory):
-    # regenerate, then import from dist/ in isolation
-    subprocess.run([sys.executable, str(ROOT / "generate.py")], check=True, cwd=ROOT)
-    sys.path.insert(0, str(ROOT / "dist"))
+def single_dir(tmp_path_factory):
+    """Run generate.py against a pristine copy of the sources in a temp dir,
+    so the committed dist/ file is never overwritten by the test run."""
+    work = tmp_path_factory.mktemp("amalgam")
+    shutil.copytree(ROOT / "glu_tpu", work / "glu_tpu")
+    shutil.copy(ROOT / "generate.py", work / "generate.py")
+    subprocess.run([sys.executable, str(work / "generate.py")], check=True, cwd=work)
+    return work / "dist"
+
+
+@pytest.fixture(scope="module")
+def single_module(single_dir):
+    sys.path.insert(0, str(single_dir))
     try:
         import glu_tpu_single as single  # noqa: PLC0415
 
         yield single
     finally:
-        sys.path.remove(str(ROOT / "dist"))
+        sys.path.remove(str(single_dir))
+
+
+def test_committed_dist_matches_sources(single_dir):
+    """Drift guard: a commit that changes glu_tpu/ without re-running
+    generate.py (and committing dist/) fails here."""
+    committed = (ROOT / "dist" / "glu_tpu_single.py").read_text()
+    fresh = (single_dir / "glu_tpu_single.py").read_text()
+    assert committed == fresh, (
+        "dist/glu_tpu_single.py is stale — run `python generate.py` and commit the result"
+    )
 
 
 def test_single_file_ops_match_package(single_module, seeded_rng):

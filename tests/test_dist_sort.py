@@ -1,6 +1,11 @@
 """Distributed sort tests on the 8-virtual-device CPU mesh (SURVEY.md §4:
 the xla_force_host_platform_device_count trick makes multi-device logic
-testable without a pod)."""
+testable without a pod).
+
+All tests run at the DEFAULT capacity_factor=2.0: index-tiebroken splitters
+keep buckets balanced for duplicate-heavy keys, and range-correlated inputs
+(pre-sorted/reverse) overflow the padded exchange's per-block capacity and
+recover losslessly through the host-side doubling retry."""
 
 import jax
 import jax.numpy as jnp
@@ -22,15 +27,15 @@ def _global_result(out_k, out_v, counts, num_devices):
     return np.concatenate(ks), np.concatenate(vs)
 
 
-def _run(keys: np.ndarray, num_devices=8, **kw):
+def _run(keys: np.ndarray, num_devices=8, backend="xla", **kw):
     mesh = make_sort_mesh(jax.devices()[:num_devices])
     vals = np.arange(keys.size, dtype=np.uint32)
     spec = jax.sharding.PartitionSpec("shards")
     sharding = jax.sharding.NamedSharding(mesh, spec)
     k = jax.device_put(jnp.asarray(keys), sharding)
     v = jax.device_put(jnp.asarray(vals), sharding)
-    out_k, out_v, counts, overflow = distributed_radix_sort(k, v, mesh, backend="xla", **kw)
-    assert int(np.asarray(overflow)[0]) == 0, "capacity overflow"
+    out_k, out_v, counts, overflow = distributed_radix_sort(k, v, mesh, backend=backend, **kw)
+    assert int(np.asarray(overflow)[0]) == 0, "capacity overflow after retries"
     gk, gv = _global_result(out_k, out_v, np.asarray(counts), num_devices)
     assert gk.size == keys.size
     order = np.argsort(keys, kind="stable")
@@ -44,9 +49,15 @@ def test_dist_sort_uniform(seeded_rng):
 
 
 def test_dist_sort_low_entropy(seeded_rng):
-    # duplicate-heavy: stresses cross-device stability of ties
+    # duplicate-heavy: index-tiebroken splitters must split the tied keys
+    # evenly (a key-only splitter collapses all of them onto one device)
     rng = seeded_rng(2)
-    _run(rng.sample_int_vector(8 * 1024, 0, 9), capacity_factor=16.0)
+    _run(rng.sample_int_vector(8 * 1024, 0, 9))
+
+
+def test_dist_sort_constant_keys():
+    # the extreme duplicate case: every key identical
+    _run(np.full(8 * 1024, 0xABCD1234, dtype=np.uint32))
 
 
 def test_dist_sort_skewed(seeded_rng):
@@ -55,29 +66,58 @@ def test_dist_sort_skewed(seeded_rng):
     rng = seeded_rng(3)
     n = 8 * 2048
     z = rng.rng.zipf(1.3, size=n).astype(np.uint32)
-    _run(z, capacity_factor=4.0)
+    _run(z)
 
 
 def test_dist_sort_presorted_and_reverse():
     # range-correlated inputs concentrate each shard into one destination
-    # block: the padded exchange needs per-block capacity = local shard size
-    # (capacity_factor = D). On real pods the "ragged" exchange handles this
-    # with factor ~1; XLA:CPU has no ragged-all-to-all to test against.
+    # block; the padded exchange overflows at factor 2 and the host retry
+    # doubles capacity until it fits (lossless — inputs are not donated)
     n = 8 * 1024
-    _run(np.arange(n, dtype=np.uint32), capacity_factor=8.0)
-    _run(np.arange(n, dtype=np.uint32)[::-1].copy(), capacity_factor=8.0)
+    _run(np.arange(n, dtype=np.uint32))
+    _run(np.arange(n, dtype=np.uint32)[::-1].copy())
 
 
 def test_dist_sort_max_keys(seeded_rng):
     # real 0xFFFFFFFF keys must not be confused with padding
     rng = seeded_rng(4)
     keys = rng.sample_int_vector(8 * 512, 0xFFFFFFF0, 0xFFFFFFFF)
-    _run(keys, capacity_factor=16.0)
+    _run(keys)
 
 
 def test_dist_sort_two_devices(seeded_rng):
     rng = seeded_rng(5)
     _run(rng.sample_int_vector(2 * 4096, 0, 1 << 20), num_devices=2)
+
+
+def test_dist_sort_overflow_reported(seeded_rng):
+    # with retries disabled, pathological skew must REPORT overflow rather
+    # than silently dropping data
+    mesh = make_sort_mesh(jax.devices()[:8])
+    keys = jnp.asarray(np.arange(8 * 1024, dtype=np.uint32))
+    vals = jnp.arange(8 * 1024, dtype=jnp.uint32)
+    spec = jax.sharding.PartitionSpec("shards")
+    sharding = jax.sharding.NamedSharding(mesh, spec)
+    out = distributed_radix_sort(
+        jax.device_put(keys, sharding), jax.device_put(vals, sharding), mesh,
+        backend="xla", capacity_factor=1.0, max_retries=0,
+    )
+    assert int(np.asarray(out[3])[0]) == 1
+
+
+def test_dist_sort_pallas_backend(seeded_rng, monkeypatch):
+    # the flagship composition: Pallas kernels under shard_map (interpret
+    # mode on the CPU mesh) — the per-shard local sorts and the compaction
+    # passes all run through the Pallas engine
+    monkeypatch.setenv("GLU_TPU_PALLAS_INTERPRET", "1")
+    rng = seeded_rng(6)
+    _run(rng.sample_int_vector(8 * 512, 0, 0xFFFFFFFE), backend="pallas")
+
+
+def test_dist_sort_pallas_backend_duplicates(seeded_rng, monkeypatch):
+    monkeypatch.setenv("GLU_TPU_PALLAS_INTERPRET", "1")
+    rng = seeded_rng(7)
+    _run(rng.sample_int_vector(8 * 512, 0, 3), backend="pallas")
 
 
 def test_graft_entry_compiles():
