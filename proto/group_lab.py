@@ -1,0 +1,196 @@
+"""Perf lab: group-kernel variants on real TPU, chained timing.
+
+Usage: python proto/group_lab.py [variant ...]
+Variants: v0 (production 4x1-bit split), v1 (MXU triangular-matmul cumsums),
+phases (phase isolation: cums/search/route/colshift).
+
+Timing: K group passes chained in one jit(fori_loop); report
+(t(1+K) - t(1)) / K per pass and ps/element. One fetch fence per run
+(axon tunnel: block_until_ready lies; fetch is the only fence).
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, "/root/repo")
+from glu_tpu.ops import _pallas_sort as ps
+
+R = 1024
+LANES = 128
+NBLOCKS = 64  # 8.4M elements
+N = NBLOCKS * R * LANES
+
+
+def fence(x):
+    np.asarray(jax.tree.leaves(x)[0][:1])
+
+
+def chain_time(fn, args, iters=8):
+    def chained(it):
+        @jax.jit
+        def g(state):
+            return jax.lax.fori_loop(0, it, lambda i, s: fn(*s), state)
+        return g
+
+    g1, gn = chained(1), chained(1 + iters)
+    fence(g1(args)); fence(gn(args))
+    def t(g):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter(); fence(g(args)); best = min(best, time.perf_counter() - t0)
+        return best
+    return (t(gn) - t(g1)) / iters
+
+
+# ---------------------------------------------------------------- variants
+
+def mxu_inrow_cumsum(x_i32):
+    """Inclusive in-row cumsum of small nonneg ints via bf16 triangular
+    matmul on the MXU (values <= 128 and row sums <= 128: exact in bf16
+    operands with f32 accumulation)."""
+    tri = jnp.tril(jnp.ones((LANES, LANES), jnp.bfloat16))  # tri[m, l]: m <= ... lower?
+    # want cum[l] = sum_{m<=l} x[m] = x @ T where T[m, l] = 1 if m <= l (upper-tri)
+    triu = jnp.triu(jnp.ones((LANES, LANES), jnp.bfloat16))
+    y = jax.lax.dot_general(
+        x_i32.astype(jnp.bfloat16), triu,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return y.astype(jnp.int32)
+
+
+def split_round_v1(k, v, bit):
+    """_split_round with the in-row cumsum on the MXU."""
+    lanes = ps._lanes((R, LANES))
+    rows = ps._rows((R, LANES))
+    z = 1 - bit
+    cumZ = mxu_inrow_cumsum(z)
+    c0 = cumZ[:, LANES - 1 : LANES]
+    Zin = ps._narrow_cumsum_incl(c0, R)
+    Zex = Zin - c0
+    n0 = Zin[R - 1, 0]
+    Oex = ps._rows((R, 1)) * LANES - Zex
+
+    is_zero_slot = lanes < c0
+    target = jnp.where(is_zero_slot, lanes + 1, lanes - c0 + 1)
+    lo = jnp.zeros((R, LANES), jnp.int32)
+    step = LANES // 2
+    while step >= 1:
+        mid = lo + step - 1
+        cz = jnp.take_along_axis(cumZ, mid, axis=1)
+        cm = jnp.where(is_zero_slot, cz, mid + 1 - cz)
+        lo = jnp.where(cm < target, lo + step, lo)
+        step //= 2
+    gk = jnp.take_along_axis(k, lo, axis=1)
+    gv = jnp.take_along_axis(v, lo, axis=1)
+
+    def route(Fc, base, cnt):
+        rank = (lanes - Fc) & (LANES - 1)
+        src = jnp.clip(base + rank, 0, LANES - 1)
+        rk = jnp.take_along_axis(gk, src, axis=1)
+        rv = jnp.take_along_axis(gv, src, axis=1)
+        valid = rank < cnt
+        q = (Fc >> 7) + jnp.where(lanes < (Fc & (LANES - 1)), 1, 0)
+        d = jnp.where(valid, jnp.abs(q - rows), 0)
+        meta = jnp.where(valid, (d << 1) | 1, 0)
+        return rk, rv, meta
+
+    def colshift(rk, rv, meta, up):
+        s = 1
+        while s < R:
+            t = (R - s) % R if up else s
+            rk_s = pltpu.roll(rk, t, axis=0)
+            m_s = pltpu.roll(meta, t, axis=0)
+            arrive = jnp.logical_and((m_s & 1) == 1, ((m_s >> 1) & s) != 0)
+            stay = ((meta >> 1) & s) == 0
+            rk = jnp.where(arrive, rk_s, rk)
+            rv = jnp.where(arrive, pltpu.roll(rv, t, axis=0), rv)
+            meta = jnp.where(arrive, m_s - (s << 1), jnp.where(stay, meta, 0))
+            s *= 2
+        return rk, rv
+
+    zk, zv, zmeta = route(Zex, jnp.zeros((R, 1), jnp.int32), c0)
+    ok_, ov_, ometa = route(jnp.int32(n0) + Oex, c0, LANES - c0)
+    zk, zv = colshift(zk, zv, zmeta, up=True)
+    ok_, ov_ = colshift(ok_, ov_, ometa, up=False)
+    sel = (rows * LANES + lanes) < n0
+    return jnp.where(sel, zk, ok_), jnp.where(sel, zv, ov_)
+
+
+def make_group(split_fn, nbits=4):
+    """Grid-over-blocks kernel applying nbits sequential 1-bit splits."""
+    data_spec = pl.BlockSpec((R, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((NBLOCKS * R, LANES), jnp.uint32)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    def kernel(k_ref, v_ref, ok_ref, ov_ref):
+        k, v = k_ref[:], v_ref[:]
+        for b in range(nbits):
+            bit = ((k >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.int32)
+            k, v = split_fn(k, v, bit)
+        ok_ref[:] = k
+        ov_ref[:] = v
+
+    def fn(k2, v2):
+        return pl.pallas_call(
+            kernel,
+            grid=(NBLOCKS,),
+            in_specs=[data_spec, data_spec],
+            out_specs=[data_spec, data_spec],
+            out_shape=[shape, shape],
+            compiler_params=params,
+        )(k2, v2)
+    return fn
+
+
+def check(fn, nbits=4):
+    rng = np.random.default_rng(0)
+    hk = rng.integers(0, 1 << 32, (2 * R, LANES), dtype=np.uint32)
+    hv = np.arange(2 * R * LANES, dtype=np.uint32).reshape(2 * R, LANES)
+    # run per-block oracle
+    data_spec = pl.BlockSpec((R, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((2 * R, LANES), jnp.uint32)
+    def kernel(k_ref, v_ref, ok_ref, ov_ref):
+        k, v = k_ref[:], v_ref[:]
+        for b in range(nbits):
+            bit = ((k >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.int32)
+            k, v = fn(k, v, bit)
+        ok_ref[:] = k; ov_ref[:] = v
+    ok, ov = pl.pallas_call(
+        kernel, grid=(2,), in_specs=[data_spec, data_spec],
+        out_specs=[data_spec, data_spec], out_shape=[shape, shape],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(jnp.asarray(hk), jnp.asarray(hv))
+    ok, ov = np.asarray(ok), np.asarray(ov)
+    good = True
+    for b in range(2):
+        fk = hk[b * R : (b + 1) * R].reshape(-1)
+        fv = hv[b * R : (b + 1) * R].reshape(-1)
+        order = np.argsort(fk & ((1 << nbits) - 1), kind="stable")
+        good &= (ok[b * R : (b + 1) * R].reshape(-1) == fk[order]).all()
+        good &= (ov[b * R : (b + 1) * R].reshape(-1) == fv[order]).all()
+    return bool(good)
+
+
+def bench(name, split_fn, nbits=4):
+    okc = check(split_fn, nbits)
+    rng = np.random.default_rng(1)
+    k2 = jnp.asarray(rng.integers(0, 1 << 32, (NBLOCKS * R, LANES), dtype=np.uint32))
+    v2 = jnp.asarray(np.arange(N, dtype=np.uint32).reshape(NBLOCKS * R, LANES))
+    fn = make_group(split_fn, nbits)
+    t = chain_time(lambda a, b: tuple(fn(a, b)), (k2, v2))
+    print(f"{name}: correct={okc} {t*1e3:8.3f} ms/pass  "
+          f"{t / N * 1e12 / nbits:7.1f} ps/elem/split", flush=True)
+
+
+if __name__ == "__main__":
+    want = sys.argv[1:] or ["v0", "v1"]
+    if "v0" in want:
+        bench("v0 production", ps._split_round)
+    if "v1" in want:
+        bench("v1 mxu-cumsum", split_round_v1)
