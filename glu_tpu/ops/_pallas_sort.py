@@ -153,8 +153,10 @@ def _split_round(k, v, bit):
         rv = jnp.take_along_axis(gv, src, axis=1) if gv is not None else None
         valid = rank < cnt
         q = (Fc >> 7) + jnp.where(lanes < (Fc & (LANES - 1)), 1, 0)
-        d = jnp.where(valid, jnp.abs(q - rows), 0)
-        meta = jnp.where(valid, (d << 1) | 1, 0)
+        # flagless meta: remaining row delta only (0 = inert). A valid
+        # element with delta 0 is already home and behaves identically to
+        # an empty slot in the walk, so no occupancy flag is needed.
+        meta = jnp.where(valid, jnp.abs(q - rows), 0)
         return rk, rv, meta
 
     # c. masked sublane log-shift to dest rows
@@ -164,12 +166,12 @@ def _split_round(k, v, bit):
             t = (R - s) % R if up else s          # roll: row r -> row r+t
             rk_s = pltpu.roll(rk, t, axis=0)
             m_s = pltpu.roll(meta, t, axis=0)
-            arrive = jnp.logical_and((m_s & 1) == 1, ((m_s >> 1) & s) != 0)
-            stay = ((meta >> 1) & s) == 0
+            arrive = (m_s & s) != 0
+            stay = (meta & s) == 0
             rk = jnp.where(arrive, rk_s, rk)
             if rv is not None:
                 rv = jnp.where(arrive, pltpu.roll(rv, t, axis=0), rv)
-            meta = jnp.where(arrive, m_s - (s << 1), jnp.where(stay, meta, 0))
+            meta = jnp.where(arrive, m_s - s, jnp.where(stay, meta, 0))
             s *= 2
         return rk, rv
 

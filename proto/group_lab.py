@@ -194,3 +194,97 @@ if __name__ == "__main__":
         bench("v0 production", ps._split_round)
     if "v1" in want:
         bench("v1 mxu-cumsum", split_round_v1)
+
+
+# ---------------------------------------------------------------- v2: micro-opts
+# flagless meta (meta = remaining row delta; 0 = inert), conditional walk
+# steps (skip roll rounds no element needs), optional MXU cumsum.
+
+def make_split_v2(use_mxu=False, cond_steps=True):
+    def split(k, v, bit):
+        R_ = k.shape[0]
+        lanes = ps._lanes((R_, LANES))
+        rows = ps._rows((R_, LANES))
+        z = 1 - bit
+        if use_mxu:
+            zb = z.astype(jnp.bfloat16)
+            r_i = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+            c_i = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+            triu = jnp.clip(c_i - r_i + 1, 0, 1).astype(jnp.bfloat16)
+            cumZ = jax.lax.dot_general(
+                zb, triu, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+        else:
+            cumZ = ps._inrow_cumsum(z)
+        c0 = cumZ[:, LANES - 1 : LANES]
+        Zin = ps._narrow_cumsum_incl(c0, R_)
+        Zex = Zin - c0
+        n0 = Zin[R_ - 1, 0]
+        Oex = ps._rows((R_, 1)) * LANES - Zex
+
+        is_zero_slot = lanes < c0
+        target = jnp.where(is_zero_slot, lanes + 1, lanes - c0 + 1)
+        lo = jnp.zeros((R_, LANES), jnp.int32)
+        step = LANES // 2
+        while step >= 1:
+            mid = lo + step - 1
+            cz = jnp.take_along_axis(cumZ, mid, axis=1)
+            cm = jnp.where(is_zero_slot, cz, mid + 1 - cz)
+            lo = jnp.where(cm < target, lo + step, lo)
+            step //= 2
+        gk = jnp.take_along_axis(k, lo, axis=1)
+        gv = jnp.take_along_axis(v, lo, axis=1)
+
+        def route(Fc, base, cnt):
+            rank = (lanes - Fc) & (LANES - 1)
+            src = jnp.clip(base + rank, 0, LANES - 1)
+            rk = jnp.take_along_axis(gk, src, axis=1)
+            rv = jnp.take_along_axis(gv, src, axis=1)
+            valid = rank < cnt
+            q = (Fc >> 7) + jnp.where(lanes < (Fc & (LANES - 1)), 1, 0)
+            meta = jnp.where(valid, jnp.abs(q - rows), 0)   # flagless
+            return rk, rv, meta
+
+        zk, zv, zmeta = route(Zex, jnp.zeros((R_, 1), jnp.int32), c0)
+        ok_, ov_, ometa = route(jnp.int32(n0) + Oex, c0, LANES - c0)
+
+        if cond_steps:
+            need = jnp.max(zmeta | ometa)   # OR of delta bits present
+
+        def colshift(rk, rv, meta, up):
+            s = 1
+            while s < R_:
+                t = (R_ - s) % R_ if up else s
+
+                def do_step(args):
+                    rk, rv, meta = args
+                    rk_s = pltpu.roll(rk, t, axis=0)
+                    m_s = pltpu.roll(meta, t, axis=0)
+                    arrive = (m_s & s) != 0
+                    stay = (meta & s) == 0
+                    rk = jnp.where(arrive, rk_s, rk)
+                    rv = jnp.where(arrive, pltpu.roll(rv, t, axis=0), rv)
+                    meta = jnp.where(arrive, m_s - s, jnp.where(stay, meta, 0))
+                    return rk, rv, meta
+
+                if cond_steps:
+                    rk, rv, meta = jax.lax.cond(
+                        (need & s) != 0, do_step, lambda a: a, (rk, rv, meta))
+                else:
+                    rk, rv, meta = do_step((rk, rv, meta))
+                s *= 2
+            return rk, rv
+
+        zk, zv = colshift(zk, zv, zmeta, up=True)
+        ok_, ov_ = colshift(ok_, ov_, ometa, up=False)
+        sel = (rows * LANES + lanes) < n0
+        return jnp.where(sel, zk, ok_), jnp.where(sel, zv, ov_)
+    return split
+
+
+if "v2" in sys.argv[1:]:
+    bench("v2 flagless+cond", make_split_v2(use_mxu=False, cond_steps=True))
+if "v2m" in sys.argv[1:]:
+    bench("v2m +mxu", make_split_v2(use_mxu=True, cond_steps=True))
+if "v2nc" in sys.argv[1:]:
+    bench("v2nc flagless only", make_split_v2(use_mxu=False, cond_steps=False))
