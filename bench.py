@@ -140,6 +140,15 @@ def _chain_time(body, init, iters):
     return max((t(gn) - t(g1)) / iters, 1e-9)
 
 
+def _ladder_iters(n, work_target):
+    """Chain iterations for a size-n op so total chained work is comparable
+    to `work_target` elements — small sizes need MANY iterations or the
+    measured delta drowns in fence jitter (a 4-iteration chain at n=131072
+    is ~3.5 ms of work read through a ~30 ms noisy fence: round-1 recorded
+    53 M keys/s there while direct timing showed ~150)."""
+    return max(4, min(256, work_target // max(n, 1)))
+
+
 def full_table(backend):
     """The reference's size ladder (README.md:100-133). Sizes below 64M use
     chained-iteration timing (fence round trips dwarf the op); large sizes
@@ -152,7 +161,8 @@ def full_table(backend):
         if n < big:
             x = _rand_u32(n, 2)
             t = _chain_time(
-                lambda s_: s_ + reduce(s_, ReduceOperator.SUM, backend=backend), x, 8
+                lambda s_: s_ + reduce(s_, ReduceOperator.SUM, backend=backend),
+                x, _ladder_iters(n, 2**26),
             )
         else:
             t = bench_reduce(n, backend)
@@ -161,7 +171,10 @@ def full_table(backend):
     for n in sizes:
         if n < big:
             x = _rand_u32(n, 3)
-            t = _chain_time(lambda s_: exclusive_scan(s_, backend=backend), x, 8)
+            t = _chain_time(
+                lambda s_: exclusive_scan(s_, backend=backend),
+                x, _ladder_iters(n, 2**26),
+            )
         else:
             t = bench_scan(n, backend)
         print(f"{n:>12} {_fmt_ms(t)}  {n * 4 / t / 1e9:8.1f} GB/s in-size")
@@ -171,7 +184,8 @@ def full_table(backend):
             k = _rand_u32(n, 1)
             v = jnp.arange(n, dtype=jnp.uint32)
             t = _chain_time(
-                lambda kv: tuple(radix_sort(kv[0], kv[1], backend=backend)), (k, v), 4
+                lambda kv: tuple(radix_sort(kv[0], kv[1], backend=backend)),
+                (k, v), _ladder_iters(n, 2**24),
             )
         else:
             t = bench_sort(n, backend)
