@@ -146,15 +146,17 @@ def _ladder_iters(n, work_target):
     measured delta drowns in fence jitter (a 4-iteration chain at n=131072
     is ~3.5 ms of work read through a ~30 ms noisy fence: round-1 recorded
     53 M keys/s there while direct timing showed ~150)."""
-    return max(4, min(256, work_target // max(n, 1)))
+    return max(4, min(1024, work_target // max(n, 1)))
 
 
 def full_table(backend):
-    """The reference's size ladder (README.md:100-133). Sizes below 64M use
-    chained-iteration timing (fence round trips dwarf the op); large sizes
-    use direct fenced timing minus the measured fence floor."""
+    """The reference's size ladder (README.md:100-133). Every row uses
+    chained-iteration timing with a work-proportional iteration count
+    (_ladder_iters): the tunnel fence is ~30 ms with multi-ms jitter, so
+    even a 268M op (~15 ms) needs chaining to resolve cleanly."""
     sizes = [2**k for k in [10, 14, 16, 17, 19, 20, 24, 26, 27, 28]]
-    big = 2**26
+    big = 2**29  # chained timing everywhere: direct fenced timing is too
+    # jittery through the ~30 ms tunnel fence even at 268M (a 15 ms op)
     print(f"# backend={backend} device={jax.devices()[0].device_kind}")
     print("## Reduce (u32 sum)")
     for n in sizes:
@@ -162,7 +164,7 @@ def full_table(backend):
             x = _rand_u32(n, 2)
             t = _chain_time(
                 lambda s_: s_ + reduce(s_, ReduceOperator.SUM, backend=backend),
-                x, _ladder_iters(n, 2**26),
+                x, _ladder_iters(n, 2**28),
             )
         else:
             t = bench_reduce(n, backend)
@@ -173,7 +175,7 @@ def full_table(backend):
             x = _rand_u32(n, 3)
             t = _chain_time(
                 lambda s_: exclusive_scan(s_, backend=backend),
-                x, _ladder_iters(n, 2**26),
+                x, _ladder_iters(n, 2**28),
             )
         else:
             t = bench_scan(n, backend)

@@ -31,7 +31,14 @@ from .utils.buffers import DeviceBuffer, copy_buffer
 from .utils.timing import measure_elapsed_time
 from .ops.reduce import Reduce, ReduceOperator, reduce
 from .ops.scan import BlellochScan, exclusive_scan
-from .ops.radix_sort import RadixSort, radix_sort, radix_sort_f32, radix_sort_keys
+from .ops.radix_sort import (
+    RadixSort,
+    radix_sort,
+    radix_sort_f32,
+    radix_sort_keys,
+    radix_sort_u64,
+    radix_sort_u64_parts,
+)
 
 __version__ = "0.1.0"
 
@@ -63,4 +70,6 @@ __all__ = [
     "radix_sort",
     "radix_sort_f32",
     "radix_sort_keys",
+    "radix_sort_u64",
+    "radix_sort_u64_parts",
 ]

@@ -13,4 +13,11 @@ Each operator has:
 
 from .reduce import Reduce, ReduceOperator, reduce
 from .scan import BlellochScan, exclusive_scan
-from .radix_sort import RadixSort, radix_sort, radix_sort_f32, radix_sort_keys
+from .radix_sort import (
+    RadixSort,
+    radix_sort,
+    radix_sort_f32,
+    radix_sort_keys,
+    radix_sort_u64,
+    radix_sort_u64_parts,
+)

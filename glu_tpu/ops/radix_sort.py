@@ -115,21 +115,32 @@ def radix_sort(
     num_steps: int = 0,
     *,
     backend: str | None = None,
+    descending: bool = False,
 ):
     """Stably sort (keys, values) pairs by key. Returns (sorted_keys, permuted_values).
 
     keys, values: u32 arrays of equal length. num_steps=0 runs the full
     8-pass sort; num_steps=k returns the state after k LSD passes (stably
     sorted by the low 4k key bits) — the reference's debugging affordance
-    (RadixSort.hpp:273,332). Inputs are donated: treat them as consumed.
+    (RadixSort.hpp:273,332). descending=True sorts keys high-to-low (still
+    stable; an extension beyond the reference) via complemented keys, and
+    requires the full sort (num_steps=0). Inputs are donated: treat them as
+    consumed.
     """
     check_argument(keys.ndim == 1 and values.ndim == 1, "keys/values must be 1-D")
     check_argument(keys.shape == values.shape, "keys/values length mismatch")
     check_argument(keys.dtype == jnp.uint32, "keys must be uint32, got %s", keys.dtype)
     check_argument(values.dtype == jnp.uint32, "values must be uint32, got %s", values.dtype)
+    check_argument(
+        not (descending and num_steps not in (0, None, NUM_PASSES)),
+        "descending requires the full sort (num_steps=0)",
+    )
     if keys.shape[0] <= 1:  # already sorted x) (reference :278-279)
         return keys, values
     steps = _norm_steps(num_steps)
+    if descending:
+        out_k, out_v = _radix_sort_kv(~keys, values, steps, resolve_backend(backend))
+        return ~out_k, out_v
     return _radix_sort_kv(keys, values, steps, resolve_backend(backend))
 
 
@@ -142,6 +153,65 @@ def radix_sort_keys(keys: jax.Array, num_steps: int = 0, *, backend: str | None 
         return keys
     steps = _norm_steps(num_steps)
     return _radix_sort_k(keys, steps, resolve_backend(backend))
+
+
+def radix_sort_u64_parts(
+    keys_hi: jax.Array,
+    keys_lo: jax.Array,
+    values: jax.Array,
+    *,
+    backend: str | None = None,
+):
+    """Stably sort by a 64-bit key given as (hi, lo) u32 halves — a
+    multi-word-key extension beyond the reference (u32 only,
+    README.md:88-89). Returns (sorted_hi, sorted_lo, permuted_values).
+
+    LSD composition: a full stable sort by the low word, then a full stable
+    sort by the high word, is a stable 64-bit sort (16 4-bit passes total).
+    The halves ride the u32 engine with an index payload; the caller's
+    arrays are then permuted with one gather each (not donated).
+    """
+    check_argument(
+        keys_hi.ndim == 1 and keys_lo.ndim == 1 and values.ndim == 1,
+        "keys_hi/keys_lo/values must be 1-D",
+    )
+    check_argument(
+        keys_hi.shape == keys_lo.shape == values.shape, "keys/values length mismatch"
+    )
+    for name, a in (("keys_hi", keys_hi), ("keys_lo", keys_lo), ("values", values)):
+        check_argument(a.dtype == jnp.uint32, "%s must be uint32, got %s", name, a.dtype)
+    n = keys_hi.shape[0]
+    if n <= 1:
+        return keys_hi, keys_lo, values
+    b = resolve_backend(backend)
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    _, p1 = _radix_sort_kv(jnp.copy(keys_lo), idx, NUM_PASSES, b)
+    hi1 = jnp.take(keys_hi, p1.astype(jnp.int32))
+    _, p2 = _radix_sort_kv(hi1, p1, NUM_PASSES, b)
+    pi = p2.astype(jnp.int32)
+    return jnp.take(keys_hi, pi), jnp.take(keys_lo, pi), jnp.take(values, pi)
+
+
+def radix_sort_u64(
+    keys: jax.Array,
+    values: jax.Array,
+    *,
+    backend: str | None = None,
+):
+    """Stably sort (u64 key, u32 value) pairs via two chained 32-bit sorts
+    (see radix_sort_u64_parts). Requires jax_enable_x64 for the uint64
+    dtype; use radix_sort_u64_parts in 32-bit mode."""
+    check_argument(keys.ndim == 1 and values.ndim == 1, "keys/values must be 1-D")
+    check_argument(keys.shape == values.shape, "keys/values length mismatch")
+    check_argument(keys.dtype == jnp.uint64, "keys must be uint64, got %s", keys.dtype)
+    check_argument(values.dtype == jnp.uint32, "values must be uint32, got %s", values.dtype)
+    if keys.shape[0] <= 1:
+        return keys, values
+    hi = (keys >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = (keys & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    oh, ol, ov = radix_sort_u64_parts(hi, lo, values, backend=backend)
+    out_k = (oh.astype(jnp.uint64) << jnp.uint64(32)) | ol.astype(jnp.uint64)
+    return out_k, ov
 
 
 def _f32_to_sortable_u32(x: jax.Array) -> jax.Array:
@@ -162,6 +232,7 @@ def radix_sort_f32(
     values: jax.Array,
     *,
     backend: str | None = None,
+    descending: bool = False,
 ):
     """Stably sort (f32 key, u32 value) pairs — an extension beyond the
     reference, which supports u32 keys only (reference README.md:88-89).
@@ -177,9 +248,12 @@ def radix_sort_f32(
     check_argument(values.dtype == jnp.uint32, "values must be uint32, got %s", values.dtype)
     if keys.shape[0] <= 1:
         return keys, values
-    ku, out_v = _radix_sort_kv(
-        _f32_to_sortable_u32(keys), values, NUM_PASSES, resolve_backend(backend)
-    )
+    ku = _f32_to_sortable_u32(keys)
+    if descending:
+        ku = ~ku
+    ku, out_v = _radix_sort_kv(ku, values, NUM_PASSES, resolve_backend(backend))
+    if descending:
+        ku = ~ku
     return _sortable_u32_to_f32(ku), out_v
 
 

@@ -178,3 +178,83 @@ def test_sort_f32_keys(backend, seeded_rng):
     order = np.argsort(tot, kind="stable")
     np.testing.assert_array_equal(out_k.view(np.uint32), keys[order].view(np.uint32))
     np.testing.assert_array_equal(out_v, order.astype(np.uint32))
+
+
+def test_sort_u64_parts(backend, seeded_rng):
+    # beyond-reference extension: 64-bit keys as (hi, lo) u32 halves via two
+    # chained stable 32-bit sorts (LSD composition)
+    from glu_tpu import radix_sort_u64_parts
+
+    rng = seeded_rng(31)
+    n = 5000
+    hi = rng.sample_int_vector(n, 0, 2**32 - 1)
+    # duplicate-heavy high words so the low-word pass's stability matters
+    hi[: n // 2] = hi[0]
+    lo = rng.sample_int_vector(n, 0, 2**32 - 1)
+    vals = np.arange(n, dtype=np.uint32)
+    oh, ol, ov = radix_sort_u64_parts(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(vals), backend=backend
+    )
+    oh, ol, ov = np.asarray(oh), np.asarray(ol), np.asarray(ov)
+    full = hi.astype(np.uint64) << np.uint64(32) | lo.astype(np.uint64)
+    order = np.argsort(full, kind="stable")
+    np.testing.assert_array_equal(oh, hi[order])
+    np.testing.assert_array_equal(ol, lo[order])
+    np.testing.assert_array_equal(ov, order.astype(np.uint32))
+
+
+def test_sort_u64(backend, seeded_rng):
+    # u64 dtype form (x64 is enabled by conftest)
+    from glu_tpu import radix_sort_u64
+
+    rng = seeded_rng(32)
+    n = 3000
+    keys = (
+        rng.sample_int_vector(n, 0, 2**32 - 1).astype(np.uint64) << np.uint64(32)
+    ) | rng.sample_int_vector(n, 0, 2**32 - 1).astype(np.uint64)
+    keys[n // 2 :] = keys[: n - n // 2]  # duplicates across the array
+    vals = np.arange(n, dtype=np.uint32)
+    out_k, out_v = radix_sort_u64(jnp.asarray(keys), jnp.asarray(vals), backend=backend)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(out_k), keys[order])
+    np.testing.assert_array_equal(np.asarray(out_v), order.astype(np.uint32))
+
+
+def test_sort_descending(backend, seeded_rng):
+    rng = seeded_rng(33)
+    keys = rng.sample_int_vector(4000, 0, 100)  # duplicate-heavy: stability visible
+    vals = np.arange(keys.size, dtype=np.uint32)
+    out_k, out_v = radix_sort(
+        jnp.asarray(keys), jnp.asarray(vals), backend=backend, descending=True
+    )
+    out_k, out_v = np.asarray(out_k), np.asarray(out_v)
+    # stable descending oracle: stable-argsort of complemented keys
+    order = np.argsort(~keys, kind="stable")
+    np.testing.assert_array_equal(out_k, keys[order])
+    np.testing.assert_array_equal(out_v, order.astype(np.uint32))
+
+
+def test_sort_f32_descending(backend, seeded_rng):
+    from glu_tpu import radix_sort_f32
+
+    rng = seeded_rng(34)
+    keys = rng.rng.uniform(-100, 100, 3000).astype(np.float32)
+    keys[::7] = keys[0]  # duplicates
+    vals = np.arange(keys.size, dtype=np.uint32)
+    out_k, out_v = radix_sort_f32(
+        jnp.asarray(keys), jnp.asarray(vals), backend=backend, descending=True
+    )
+    u = keys.view(np.uint32)
+    tot = np.where(u >> 31 == 1, u ^ np.uint32(0xFFFFFFFF), u ^ np.uint32(0x80000000))
+    order = np.argsort(~tot, kind="stable")
+    np.testing.assert_array_equal(np.asarray(out_k).view(np.uint32), keys[order].view(np.uint32))
+    np.testing.assert_array_equal(np.asarray(out_v), order.astype(np.uint32))
+
+
+def test_sort_descending_rejects_partial():
+    from glu_tpu.utils.errors import GluArgumentError
+
+    with pytest.raises(GluArgumentError):
+        radix_sort(
+            jnp.zeros(8, jnp.uint32), jnp.zeros(8, jnp.uint32), 2, descending=True
+        )
