@@ -44,6 +44,9 @@ def _sync(tree):
     import numpy as np
 
     leaf = jax.tree.leaves(tree)[0]
+    shards = getattr(leaf, "addressable_shards", None)
+    if shards:  # multi-device array: slicing a sharded axis needs collectives
+        leaf = shards[0].data
     np.asarray(leaf if getattr(leaf, "ndim", 0) == 0 else leaf[:1])
 
 
@@ -324,7 +327,22 @@ def main():
     ap.add_argument("--check", action="store_true",
                     help="run the BASELINE config battery (uniform/presorted/reverse/lowentropy) with on-device verification")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cpu-mesh", type=int, default=0, metavar="N",
+                    help="force an N-virtual-device CPU mesh (the stand-in for "
+                         "a pod slice when no multi-chip hardware is attached); "
+                         "use with --dist to record scaling efficiency")
     args = ap.parse_args()
+
+    if args.cpu_mesh:
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.cpu_mesh}"
+            ).strip()
+        os.environ["GLU_TPU_PALLAS_INTERPRET"] = "1"  # pallas kernels on CPU
+        jax.config.update("jax_platforms", "cpu")
 
     backend = resolve_backend(args.backend)
     if args.table:
