@@ -51,6 +51,37 @@ def pad_to_grid(n: int, block_rows: int) -> tuple[int, int, int]:
     return rows * LANES, rows, rows // block_rows
 
 
+def narrow_cumsum_incl(col, rows_n: int):
+    """Inclusive cumsum of an (R, 1) column. A direct sublane log-scan runs
+    at 1/128 lane utilization (every roll pays a full vreg pass over 127
+    padding lanes); for R a multiple of 128 the column is reshaped to
+    (R/128, 128) and scanned in row-major order at full VPU width, then
+    reshaped back. Shared by the sort's block-offset scan and the scan
+    kernel's row-total scan."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu_
+
+    def col_scan(x, n):
+        rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
+        s = 1
+        while s < n:
+            x = x + jnp.where(rows >= s, pltpu_.roll(x, s, axis=x.ndim - 2), 0)
+            s *= 2
+        return x
+
+    if rows_n % LANES != 0 or rows_n < LANES:
+        return col_scan(col, rows_n)
+    t = col.reshape(rows_n // LANES, LANES)
+    lanes = col_ids(t.shape)
+    s = 1
+    while s < LANES:
+        t = t + jnp.where(lanes >= s, pltpu_.roll(t, s, axis=1), 0)
+        s *= 2
+    totals = t[:, LANES - 1 : LANES]
+    row_pre = col_scan(totals, rows_n // LANES) - totals
+    return (t + row_pre).reshape(rows_n, 1)
+
+
 def row_ids(shape):
     import jax
 

@@ -54,7 +54,11 @@ def tile_inclusive_rowmajor(x: jax.Array) -> jax.Array:
     """Inclusive scan of a (R, 128) tile in row-major element order."""
     inc = _scan_lanes_inclusive(x)
     totals = inc[:, LANES - 1 : LANES]  # (R, 1) row sums
-    row_prefix = _scan_rows_inclusive(totals) - totals  # exclusive row offsets
+    # measured (proto/scan_lab.py, 268M on v5e): the sublane log-scan of the
+    # (R, 1) column beats narrow_cumsum_incl here at every block size (the
+    # (R,1)->(R/128,128) reshape relayout costs more than full-width saves
+    # in this kernel, unlike in the sort where the narrow scan won)
+    row_prefix = _scan_rows_inclusive(totals) - totals
     return inc + row_prefix
 
 
@@ -81,7 +85,10 @@ def pallas_exclusive_scan(x: jax.Array, num_partitions: int = 1) -> jax.Array:
     dtype = x.dtype
     part = n // num_partitions
     rows0 = cdiv(part, LANES)
-    block_rows = pick_block_rows(rows0, max_rows=256)
+    # 512-row blocks: at 256 rows a 268M scan runs 8192 sequential grid
+    # steps and per-step overhead eats ~17% (proto/scan_lab.py: 21.4 ms at
+    # 256 rows vs 17.8 at 512 and 18.0 at 1024 for 268M)
+    block_rows = pick_block_rows(rows0, max_rows=512)
     rows = round_up(max(rows0, 1), block_rows)
     padded_part = rows * LANES
     num_blocks = rows // block_rows

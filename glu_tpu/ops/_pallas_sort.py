@@ -49,7 +49,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ._pallas_common import interpret_mode
+from ._pallas_common import interpret_mode, narrow_cumsum_incl
 from ..utils.log import vlog
 from .radix_sort import RADIX_BITS
 
@@ -100,22 +100,7 @@ def _col_cumsum_incl(x, rows_n):
     return x
 
 
-def _narrow_cumsum_incl(col, R):
-    """Inclusive cumsum of an (R, 1) column. A direct sublane log-scan runs
-    at 1/128 lane utilization; for R a multiple of 128 the column is
-    reshaped to (R/128, 128) and scanned in row-major order at full VPU
-    width, then reshaped back."""
-    if R % LANES != 0 or R < LANES:
-        return _col_cumsum_incl(col, R)
-    t = col.reshape(R // LANES, LANES)
-    lanes = _lanes(t.shape)
-    s = 1
-    while s < LANES:
-        t = t + jnp.where(lanes >= s, pltpu.roll(t, s, axis=1), 0)
-        s *= 2
-    totals = t[:, LANES - 1 : LANES]
-    row_pre = _col_cumsum_incl(totals, R // LANES) - totals
-    return (t + row_pre).reshape(R, 1)
+_narrow_cumsum_incl = narrow_cumsum_incl  # shared full-width narrow scan
 
 
 def _split_round(k, v, bit):
