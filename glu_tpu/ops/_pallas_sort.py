@@ -103,13 +103,36 @@ def _col_cumsum_incl(x, rows_n):
 _narrow_cumsum_incl = narrow_cumsum_incl  # shared full-width narrow scan
 
 
+def _packed4_inrow_cumsum(z):
+    """Inclusive in-row cumsum of an (R,128) 0/1 array, 4 rows at a time:
+    rows r, r+R/4, r+R/2, r+3R/4 pack into one u32's byte fields (row sums
+    <= 128 = 0x80 fit a byte, so fields never carry into each other) and ONE
+    (R/4,128) roll-scan serves all four — quartering the vreg traffic of the
+    split's cumsum phase (measured 244.6 -> 195.3 ps/elem/split at R=1024,
+    proto/group_lab.py v4). Mosaic has no 16-bit rotate, so sub-wording is
+    done by hand in u32."""
+    R = z.shape[0]
+    Q = R // 4
+    zq = z.reshape(4, Q, LANES).astype(jnp.uint32)
+    packed = (zq[0] | (zq[1] << 8) | (zq[2] << 16) | (zq[3] << 24)).astype(jnp.int32)
+    lanesq = _lanes((Q, LANES))
+    s = 1
+    while s < LANES:
+        packed = packed + jnp.where(lanesq >= s, pltpu.roll(packed, s, axis=1), 0)
+        s *= 2
+    xu = packed.astype(jnp.uint32)
+    return jnp.concatenate(
+        [xu & 0xFF, (xu >> 8) & 0xFF, (xu >> 16) & 0xFF, (xu >> 24) & 0xFF], axis=0
+    ).reshape(R, LANES).astype(jnp.int32)
+
+
 def _split_round(k, v, bit):
     """One stable 1-bit split of a (R, 128) block in row-major order."""
     R = k.shape[0]
     lanes = _lanes((R, LANES))
     rows = _rows((R, LANES))
     z = 1 - bit
-    cumZ = _inrow_cumsum(z)                       # inclusive zeros per row
+    cumZ = _packed4_inrow_cumsum(z)               # inclusive zeros per row
     c0 = cumZ[:, LANES - 1 : LANES]               # (R,1)
     Zin = _narrow_cumsum_incl(c0, R)
     Zex = Zin - c0                                # zeros before this row

@@ -288,3 +288,188 @@ if "v2m" in sys.argv[1:]:
     bench("v2m +mxu", make_split_v2(use_mxu=True, cond_steps=True))
 if "v2nc" in sys.argv[1:]:
     bench("v2nc flagless only", make_split_v2(use_mxu=False, cond_steps=False))
+
+
+# ---------------------------------------------------------------- v3: int16
+# Sub-word datapath for the split's bookkeeping: the in-row zero cumsum
+# (values <= 128), the binary-search probes, and the walk's meta deltas
+# (<= R-1 = 1023) all fit int16 — (16,128) tiling halves the vreg count of
+# every op touching them. k/v stay u32; Zin/Zex (block-scale values) stay
+# i32. Variants isolate which int16 conversions pay.
+
+def make_split_v3(cums16=True, meta16=True):
+    I16 = jnp.int16
+
+    def split(k, v, bit):
+        R_ = k.shape[0]
+        lanes = ps._lanes((R_, LANES))
+        rows = ps._rows((R_, LANES))
+
+        if cums16:
+            z16 = (1 - bit).astype(I16)
+            lanes16 = lanes.astype(I16)
+            x = z16
+            s = 1
+            while s < LANES:
+                x = x + jnp.where(lanes >= s, pltpu.roll(x, s, axis=1), jnp.zeros_like(x))
+                s *= 2
+            cumZ16 = x                                   # (R,128) int16
+            c0_16 = cumZ16[:, LANES - 1 : LANES]
+            c0 = c0_16.astype(jnp.int32)
+        else:
+            z = 1 - bit
+            cumZ16 = ps._inrow_cumsum(z)
+            c0_16 = cumZ16[:, LANES - 1 : LANES]
+            c0 = c0_16
+        Zin = ps._narrow_cumsum_incl(c0, R_)
+        Zex = Zin - c0
+        n0 = Zin[R_ - 1, 0]
+        Oex = ps._rows((R_, 1)) * LANES - Zex
+
+        is_zero_slot = lanes < c0
+        if cums16:
+            target16 = jnp.where(is_zero_slot, lanes16 + I16(1),
+                                 lanes16 - c0_16 + I16(1))
+        lo = jnp.zeros((R_, LANES), jnp.int32)
+        step = LANES // 2
+        while step >= 1:
+            mid = lo + step - 1
+            cz = jnp.take_along_axis(cumZ16, mid, axis=1)
+            if cums16:
+                cm = jnp.where(is_zero_slot, cz, (mid + 1).astype(I16) - cz)
+                lo = jnp.where(cm < target16, lo + step, lo)
+            else:
+                cm = jnp.where(is_zero_slot, cz, mid + 1 - cz)
+                target = jnp.where(is_zero_slot, lanes + 1, lanes - c0 + 1)
+                lo = jnp.where(cm < target, lo + step, lo)
+            step //= 2
+        gk = jnp.take_along_axis(k, lo, axis=1)
+        gv = jnp.take_along_axis(v, lo, axis=1)
+
+        def route(Fc, base, cnt):
+            rank = (lanes - Fc) & (LANES - 1)
+            src = jnp.clip(base + rank, 0, LANES - 1)
+            rk = jnp.take_along_axis(gk, src, axis=1)
+            rv = jnp.take_along_axis(gv, src, axis=1)
+            valid = rank < cnt
+            q = (Fc >> 7) + jnp.where(lanes < (Fc & (LANES - 1)), 1, 0)
+            d = jnp.where(valid, jnp.abs(q - rows), 0)
+            if meta16:
+                return rk, rv, d.astype(I16)
+            return rk, rv, d
+
+        def colshift(rk, rv, meta, up):
+            s = 1
+            while s < R_:
+                t = (R_ - s) % R_ if up else s
+                rk_s = pltpu.roll(rk, t, axis=0)
+                m_s = pltpu.roll(meta, t, axis=0)
+                ss = meta.dtype.type(s)
+                arrive = (m_s & ss) != 0
+                stay = (meta & ss) == 0
+                rk = jnp.where(arrive, rk_s, rk)
+                rv = jnp.where(arrive, pltpu.roll(rv, t, axis=0), rv)
+                meta = jnp.where(arrive, m_s - ss, jnp.where(stay, meta, jnp.zeros_like(meta)))
+                s *= 2
+            return rk, rv
+
+        zk, zv, zmeta = route(Zex, jnp.zeros((R_, 1), jnp.int32), c0)
+        ok_, ov_, ometa = route(jnp.int32(n0) + Oex, c0, LANES - c0)
+        zk, zv = colshift(zk, zv, zmeta, up=True)
+        ok_, ov_ = colshift(ok_, ov_, ometa, up=False)
+        sel = (rows * LANES + lanes) < n0
+        return jnp.where(sel, zk, ok_), jnp.where(sel, zv, ov_)
+    return split
+
+
+if "v3" in sys.argv[1:]:
+    bench("v3 int16 cums+meta", make_split_v3(cums16=True, meta16=True))
+if "v3c" in sys.argv[1:]:
+    bench("v3c int16 cums only", make_split_v3(cums16=True, meta16=False))
+if "v3m" in sys.argv[1:]:
+    bench("v3m int16 meta only", make_split_v3(cums16=False, meta16=True))
+
+
+# ---------------------------------------------------------------- v4: packed cums
+# Mosaic rejects 16-bit rotates, so sub-word the cumsum MANUALLY: pack the
+# 0/1 zero-flags of 4 rows (r, r+R/4, r+R/2, r+3R/4) into one u32's byte
+# fields. Row sums <= 128 = 0x80 fit a byte with no cross-field carry, so
+# ONE (R/4,128) roll-scan computes all four rows' inclusive cumsums;
+# unpack with shifts/ands. Quarter the vreg traffic of the split's
+# 50 ps/elem cums phase.
+
+def make_split_v4():
+    def split(k, v, bit):
+        R_ = k.shape[0]
+        Q = R_ // 4
+        lanes = ps._lanes((R_, LANES))
+        rows = ps._rows((R_, LANES))
+        z = 1 - bit
+
+        zq = z.reshape(4, Q, LANES).astype(jnp.uint32)
+        packed = (zq[0] | (zq[1] << 8) | (zq[2] << 16) | (zq[3] << 24)).astype(jnp.int32)
+        lanesq = ps._lanes((Q, LANES))
+        x = packed
+        s = 1
+        while s < LANES:
+            x = x + jnp.where(lanesq >= s, pltpu.roll(x, s, axis=1), 0)
+            s *= 2
+        xu = x.astype(jnp.uint32)
+        cumZ = jnp.concatenate(
+            [xu & 0xFF, (xu >> 8) & 0xFF, (xu >> 16) & 0xFF, (xu >> 24) & 0xFF], axis=0
+        ).reshape(R_, LANES).astype(jnp.int32)
+
+        c0 = cumZ[:, LANES - 1 : LANES]
+        Zin = ps._narrow_cumsum_incl(c0, R_)
+        Zex = Zin - c0
+        n0 = Zin[R_ - 1, 0]
+        Oex = ps._rows((R_, 1)) * LANES - Zex
+
+        is_zero_slot = lanes < c0
+        target = jnp.where(is_zero_slot, lanes + 1, lanes - c0 + 1)
+        lo = jnp.zeros((R_, LANES), jnp.int32)
+        step = LANES // 2
+        while step >= 1:
+            mid = lo + step - 1
+            cz = jnp.take_along_axis(cumZ, mid, axis=1)
+            cm = jnp.where(is_zero_slot, cz, mid + 1 - cz)
+            lo = jnp.where(cm < target, lo + step, lo)
+            step //= 2
+        gk = jnp.take_along_axis(k, lo, axis=1)
+        gv = jnp.take_along_axis(v, lo, axis=1)
+
+        def route(Fc, base, cnt):
+            rank = (lanes - Fc) & (LANES - 1)
+            src = jnp.clip(base + rank, 0, LANES - 1)
+            rk = jnp.take_along_axis(gk, src, axis=1)
+            rv = jnp.take_along_axis(gv, src, axis=1)
+            valid = rank < cnt
+            q = (Fc >> 7) + jnp.where(lanes < (Fc & (LANES - 1)), 1, 0)
+            meta = jnp.where(valid, jnp.abs(q - rows), 0)
+            return rk, rv, meta
+
+        def colshift(rk, rv, meta, up):
+            s = 1
+            while s < R_:
+                t = (R_ - s) % R_ if up else s
+                rk_s = pltpu.roll(rk, t, axis=0)
+                m_s = pltpu.roll(meta, t, axis=0)
+                arrive = (m_s & s) != 0
+                stay = (meta & s) == 0
+                rk = jnp.where(arrive, rk_s, rk)
+                rv = jnp.where(arrive, pltpu.roll(rv, t, axis=0), rv)
+                meta = jnp.where(arrive, m_s - s, jnp.where(stay, meta, 0))
+                s *= 2
+            return rk, rv
+
+        zk, zv, zmeta = route(Zex, jnp.zeros((R_, 1), jnp.int32), c0)
+        ok_, ov_, ometa = route(jnp.int32(n0) + Oex, c0, LANES - c0)
+        zk, zv = colshift(zk, zv, zmeta, up=True)
+        ok_, ov_ = colshift(ok_, ov_, ometa, up=False)
+        sel = (rows * LANES + lanes) < n0
+        return jnp.where(sel, zk, ok_), jnp.where(sel, zv, ov_)
+    return split
+
+
+if "v4" in sys.argv[1:]:
+    bench("v4 packed4 cums", make_split_v4())
