@@ -36,6 +36,7 @@ from .ops.radix_sort import (
     radix_sort,
     radix_sort_f32,
     radix_sort_keys,
+    radix_sort_segmented,
     radix_sort_u64,
     radix_sort_u64_parts,
 )
@@ -70,6 +71,7 @@ __all__ = [
     "radix_sort",
     "radix_sort_f32",
     "radix_sort_keys",
+    "radix_sort_segmented",
     "radix_sort_u64",
     "radix_sort_u64_parts",
 ]

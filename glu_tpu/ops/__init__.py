@@ -18,6 +18,7 @@ from .radix_sort import (
     radix_sort,
     radix_sort_f32,
     radix_sort_keys,
+    radix_sort_segmented,
     radix_sort_u64,
     radix_sort_u64_parts,
 )

@@ -192,6 +192,48 @@ def radix_sort_u64_parts(
     return jnp.take(keys_hi, pi), jnp.take(keys_lo, pi), jnp.take(values, pi)
 
 
+def radix_sort_segmented(
+    keys: jax.Array,
+    values: jax.Array,
+    num_partitions: int = 1,
+    *,
+    backend: str | None = None,
+):
+    """Stably sort (keys, values) independently within `num_partitions`
+    adjacent, equal-length segments — the sort-side analog of the scan's
+    partition batching (reference BlellochScan.hpp:125-138; the reference
+    has no segmented sort). Returns (sorted_keys, permuted_values).
+
+    LSD composition on the existing engine: a full stable sort by key with
+    an index payload, then a stable PARTIAL sort (num_steps) by segment id
+    — exactly enough low-bit passes to cover log2(num_partitions) bits.
+    Stability of the second sort preserves the key order within each
+    segment, so the result is a per-segment stable key sort.
+    """
+    check_argument(keys.ndim == 1 and values.ndim == 1, "keys/values must be 1-D")
+    check_argument(keys.shape == values.shape, "keys/values length mismatch")
+    check_argument(keys.dtype == jnp.uint32, "keys must be uint32, got %s", keys.dtype)
+    check_argument(values.dtype == jnp.uint32, "values must be uint32, got %s", values.dtype)
+    n = keys.shape[0]
+    p = int(num_partitions)
+    check_argument(p >= 1, "num_partitions must be >= 1")
+    check_argument(n % p == 0, "count (%d) must divide into %d partitions", n, p)
+    if p == 1:
+        return radix_sort(keys, values, backend=backend)
+    if n <= 1:
+        return keys, values
+    b = resolve_backend(backend)
+    seg_bits = max(1, (p - 1).bit_length())
+    seg_steps = -(-seg_bits // RADIX_BITS)  # ceil: passes covering segment ids
+    part = n // p
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    _, p1 = _radix_sort_kv(jnp.copy(keys), idx, NUM_PASSES, b)
+    seg1 = p1 // jnp.uint32(part)  # segment id of each key-sorted element
+    _, p2 = _radix_sort_kv(seg1, p1, seg_steps, b)
+    pi = p2.astype(jnp.int32)
+    return jnp.take(keys, pi), jnp.take(values, pi)
+
+
 def radix_sort_u64(
     keys: jax.Array,
     values: jax.Array,

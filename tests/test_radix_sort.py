@@ -258,3 +258,37 @@ def test_sort_descending_rejects_partial():
         radix_sort(
             jnp.zeros(8, jnp.uint32), jnp.zeros(8, jnp.uint32), 2, descending=True
         )
+
+
+@pytest.mark.parametrize("num_partitions", [1, 4, 13, 100])
+def test_sort_segmented(num_partitions, backend, seeded_rng):
+    # beyond-reference extension: per-segment stable sort (the sort-side
+    # analog of the scan's partition batching, BlellochScan.hpp:125-138),
+    # composed as full key sort + partial-pass segment-id sort
+    from glu_tpu import radix_sort_segmented
+
+    rng = seeded_rng(47)
+    part = 520
+    n = part * num_partitions
+    keys = rng.sample_int_vector(n, 0, 2**32 - 1)
+    keys[: n // 3] = keys[0]  # duplicates so stability matters
+    vals = np.arange(n, dtype=np.uint32)
+    out_k, out_v = radix_sort_segmented(
+        jnp.asarray(keys), jnp.asarray(vals), num_partitions, backend=backend
+    )
+    out_k, out_v = np.asarray(out_k), np.asarray(out_v)
+    for s in range(num_partitions):
+        seg = slice(s * part, (s + 1) * part)
+        order = np.argsort(keys[seg], kind="stable") + s * part
+        np.testing.assert_array_equal(out_k[seg], keys[order])
+        np.testing.assert_array_equal(out_v[seg], order.astype(np.uint32))
+
+
+def test_sort_segmented_rejects_bad_partitions():
+    from glu_tpu import radix_sort_segmented
+    from glu_tpu.utils.errors import GluArgumentError
+
+    with pytest.raises(GluArgumentError):
+        radix_sort_segmented(
+            jnp.zeros(10, jnp.uint32), jnp.zeros(10, jnp.uint32), 3
+        )
