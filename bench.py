@@ -197,7 +197,7 @@ def full_table(backend):
         print(f"{n:>12} {_fmt_ms(t)}  {n / t / 1e6:8.1f} M keys/s")
 
 
-def bench_dist(n, backend, reps=2, capacity_factor=1.5):
+def bench_dist(n, backend, reps=2, capacity_factor=1.5, exchange="padded"):
     """Distributed sort throughput + scaling efficiency over all local
     devices (the BASELINE.json multi-host metric; on a pod slice run this
     per-host under jax.distributed)."""
@@ -216,7 +216,8 @@ def bench_dist(n, backend, reps=2, capacity_factor=1.5):
 
     def run():
         return distributed_radix_sort(
-            keys, vals, mesh, backend=backend, capacity_factor=capacity_factor
+            keys, vals, mesh, backend=backend, capacity_factor=capacity_factor,
+            exchange=exchange,
         )
 
     _sync(run())
@@ -235,6 +236,7 @@ def bench_dist(n, backend, reps=2, capacity_factor=1.5):
                 "value": round(n / best, 1),
                 "unit": "keys/s",
                 "devices": d,
+                "exchange": exchange,
                 "scaling_efficiency_vs_1dev": round(eff, 3),
             }
         )
@@ -324,6 +326,9 @@ def main():
     ap.add_argument("--backend", default=None, choices=[None, "pallas", "xla"])
     ap.add_argument("--table", action="store_true", help="print the full reference size ladder")
     ap.add_argument("--dist", action="store_true", help="distributed sort over all local devices")
+    ap.add_argument("--exchange", default="padded", choices=["padded", "ragged"],
+                    help="bucket exchange implementation for --dist (ragged = "
+                         "jax.lax.ragged_all_to_all; compiles on TPU meshes only)")
     ap.add_argument("--check", action="store_true",
                     help="run the BASELINE config battery (uniform/presorted/reverse/lowentropy) with on-device verification")
     ap.add_argument("--reps", type=int, default=3)
@@ -349,7 +354,7 @@ def main():
         full_table(backend)
         return
     if args.dist:
-        bench_dist(args.n, backend, reps=args.reps)
+        bench_dist(args.n, backend, reps=args.reps, exchange=args.exchange)
         return
     if args.check:
         run_checks(args.n, backend)
