@@ -6,20 +6,26 @@ implements BASELINE.json's north-star capability TPU-natively:
   1. splitter sampling: each device samples local keys, all-gathers the
      samples over ICI, and takes quantiles as D-1 splitters (skew handling:
      splitters adapt to the key distribution, unlike fixed-range bits);
-  2. bucket partition: each device stably partitions its shard into D
-     per-destination buckets, padded to a static capacity (XLA requires
-     static shapes; capacity_factor provisions headroom, and an overflow
-     flag reports when a pathological distribution exceeds it);
+  2. bucket partition: each device stably groups its shard by destination
+     bucket — NOT with XLA scatter/gather (pathologically slow on TPU:
+     element-at-a-time loops) but with the radix engine itself: two stable
+     partial sorts keyed on the bucket id (log16(D) passes each) permute
+     keys and values identically, and per-bucket offsets fall out of a
+     searchsorted on the sorted bucket ids;
   3. ONE all-to-all bucket exchange over ICI (cheaper than the per-pass
      exchange sketched in BASELINE.json: 1x data volume instead of 8x);
-  4. stable local sort of the received blocks with the single-chip radix
-     kernels, followed by a pad-compaction pass that works for ANY key value
-     (including real 0xFFFFFFFF keys: pads are identified by slot position,
-     never by sentinel comparison).
+     the padded layout is produced by per-bucket `lax.dynamic_slice` DMAs
+     (contiguous block moves, no gathers);
+  4. received blocks are compacted to the front with ascending
+     `lax.dynamic_update_slice` DMAs, then sorted once with the single-chip
+     radix kernels. Pads are 0xFFFFFFFF fills positioned AFTER every real
+     element, so the stable sort leaves them as a tail even when real keys
+     equal 0xFFFFFFFF — no sentinel comparison, no positional bookkeeping.
 
 Stability: blocks are exchanged in source-device order, each block preserves
-source order (step 2 is stable), the local sort is stable, and the
-compaction pass is stable — so ties keep global input order end-to-end.
+source order (step 2 is a stable sort), the compaction preserves block
+order, and the final local sort is stable — so ties keep global input order
+end-to-end under the lexicographic (key, global index) splitter order.
 
 Result: device d holds keys in [splitter_{d-1}, splitter_d), sorted, in the
 first `count` slots of its padded shard (pads at the tail hold 0xFFFFFFFF).
@@ -72,92 +78,91 @@ def _sample_splitters(keys, axis_name: str, num_devices: int, num_samples: int):
 
 def _bucket_of(keys, axis_name: str, splitter_keys, splitter_idx):
     """Destination bucket of each local element under lexicographic
-    (key, global index) order: the count of splitters <= (key, index)."""
+    (key, global index) order: the count of splitters <= (key, index).
+
+    Unrolled over the D-1 splitters (D is static and small) so XLA fuses all
+    comparisons into one elementwise pass over the shard — no (D-1, n)
+    comparison matrix is ever materialized."""
     n = keys.shape[0]
     me = jax.lax.axis_index(axis_name)
     gidx = (me * n + jnp.arange(n, dtype=jnp.uint32)).astype(jnp.uint32)
-    le = (splitter_keys[:, None] < keys[None, :]) | (
-        (splitter_keys[:, None] == keys[None, :]) & (splitter_idx[:, None] <= gidx[None, :])
-    )
-    return jnp.sum(le.astype(jnp.int32), axis=0)
+    bucket = jnp.zeros(n, dtype=jnp.int32)
+    for i in range(splitter_keys.shape[0]):
+        le = (splitter_keys[i] < keys) | (
+            (splitter_keys[i] == keys) & (splitter_idx[i] <= gidx)
+        )
+        bucket = bucket + le.astype(jnp.int32)
+    return bucket
 
 
-def _partition_to_buckets(keys, values, bucket, num_devices: int, capacity: int):
-    """Stable partition of a local shard into D padded buckets.
-
-    dest = bucket * capacity + stable rank within bucket — the same
-    count/rank/scatter shape as a single radix pass, with the mesh axis
-    playing the digit's role. Returns (padded [D*C] keys, values, per-bucket
-    counts, overflow flag)."""
-    def bucket_body(b, carry):
-        rank, counts = carry
-        m = bucket == b
-        c = jnp.cumsum(m.astype(jnp.int32))
-        return jnp.where(m, c - 1, rank), counts.at[b].set(c[-1])
-
-    rank, counts = jax.lax.fori_loop(
-        0,
-        num_devices,
-        bucket_body,
-        (jnp.zeros(keys.shape[0], dtype=jnp.int32), jnp.zeros(num_devices, dtype=jnp.int32)),
-    )
-    overflow = jnp.any(counts > capacity)
-    dest = bucket * capacity + rank
-    # overflowing elements are dropped by scatter mode; flag reports it
-    dest = jnp.where(rank < capacity, dest, num_devices * capacity)
-    pad_k = jnp.full(num_devices * capacity, 0xFFFFFFFF, dtype=jnp.uint32)
-    out_k = pad_k.at[dest].set(keys, mode="drop", unique_indices=True)
-    out_v = jnp.zeros(num_devices * capacity, dtype=jnp.uint32).at[dest].set(
-        values, mode="drop", unique_indices=True
-    )
-    return out_k, out_v, jnp.minimum(counts, capacity), overflow
+def _num_bucket_steps(num_devices: int) -> int:
+    """Radix passes needed to sort bucket ids in [0, D): 4 bits per pass."""
+    bits = max(int(num_devices - 1).bit_length(), 1)
+    return -(-bits // 4)
 
 
-def _compact_received(keys, values, block_counts, capacity: int, backend):
-    """Stable local sort of D received blocks + positional pad compaction.
+def _partition_by_bucket(keys, values, bucket, num_devices: int, backend):
+    """Stable grouping of the local shard by destination bucket, using the
+    radix engine (the fast path on every backend) instead of XLA scatter.
 
-    Pads are recognized by SLOT (slot i in block b is a pad iff
-    i % capacity >= counts[b]) — correct even when real keys equal the
-    0xFFFFFFFF fill. The compaction is itself one stable 1-bit radix pass.
-    """
+    Two stable partial sorts keyed on the SAME bucket array apply the SAME
+    permutation to keys and values (stable sort of identical keys is a
+    deterministic permutation). Offsets come from a binary search over the
+    sorted bucket ids. Returns (keys, values, counts, offsets) with buckets
+    contiguous in ascending order."""
     n = keys.shape[0]
-    idx = jnp.arange(n, dtype=jnp.uint32)
-    # stable sort (key, original slot)
-    sorted_keys, sorted_idx = radix_sort(keys, idx, backend=backend)
-    is_pad = (sorted_idx % capacity) >= block_counts[sorted_idx // capacity].astype(jnp.uint32)
-    # stable partition: reals first (flag 0), pads last (flag 1) — one
-    # LSD pass over the flag bit
-    _, final_idx = radix_sort(is_pad.astype(jnp.uint32), sorted_idx, num_steps=1, backend=backend)
-    out_k = keys[final_idx]
-    out_v = values[final_idx]
-    count = jnp.sum(block_counts)
-    # overwrite pad tail keys with the canonical fill for a clean contract
-    pos = jnp.arange(n, dtype=jnp.int32)
-    out_k = jnp.where(pos < count, out_k, jnp.uint32(0xFFFFFFFF))
-    return out_k, out_v, count
+    if num_devices == 1:
+        return keys, values, jnp.full((1,), n, jnp.int32), jnp.zeros((1,), jnp.int32)
+    steps = _num_bucket_steps(num_devices)
+    b = bucket.astype(jnp.uint32)
+    sb, pk = radix_sort(b, keys, num_steps=steps, backend=backend)
+    _, pv = radix_sort(b, values, num_steps=steps, backend=backend)
+    offsets = jnp.searchsorted(
+        sb, jnp.arange(num_devices, dtype=jnp.uint32), side="left"
+    ).astype(jnp.int32)
+    ends = jnp.concatenate([offsets[1:], jnp.full((1,), n, jnp.int32)])
+    counts = ends - offsets
+    return pk, pv, counts, offsets
 
 
-def _compact_buckets(keys, values, bucket, num_devices: int):
-    """Stable partition of the local shard into D contiguous (unpadded)
-    buckets. Returns (keys, values, per-bucket counts, exclusive offsets)."""
+def _spread_to_padded(pk, pv, counts, offsets, num_devices: int, capacity: int):
+    """Bucket-contiguous arrays -> (D, capacity) padded blocks via one
+    `lax.dynamic_slice` (a contiguous DMA) per bucket. Inputs are extended by
+    `capacity` fill elements so no slice ever clamps (a clamped start would
+    misalign the block against its validity mask). Returns (padded keys,
+    padded values, sent counts, overflow flag)."""
+    fill_k = jnp.full((capacity,), 0xFFFFFFFF, dtype=jnp.uint32)
+    fill_v = jnp.zeros((capacity,), dtype=jnp.uint32)
+    pk_ext = jnp.concatenate([pk, fill_k])
+    pv_ext = jnp.concatenate([pv, fill_v])
+    j = jnp.arange(capacity, dtype=jnp.int32)
+    rows_k, rows_v = [], []
+    sent = jnp.minimum(counts, capacity)
+    for b in range(num_devices):
+        kb = jax.lax.dynamic_slice(pk_ext, (offsets[b],), (capacity,))
+        vb = jax.lax.dynamic_slice(pv_ext, (offsets[b],), (capacity,))
+        valid = j < sent[b]
+        rows_k.append(jnp.where(valid, kb, fill_k))
+        rows_v.append(jnp.where(valid, vb, fill_v))
+    overflow = jnp.any(counts > capacity)
+    return jnp.stack(rows_k), jnp.stack(rows_v), sent, overflow
 
-    def bucket_body(b, carry):
-        rank, counts = carry
-        m = bucket == b
-        c = jnp.cumsum(m.astype(jnp.int32))
-        return jnp.where(m, c - 1, rank), counts.at[b].set(c[-1])
 
-    rank, counts = jax.lax.fori_loop(
-        0,
-        num_devices,
-        bucket_body,
-        (jnp.zeros(keys.shape[0], dtype=jnp.int32), jnp.zeros(num_devices, dtype=jnp.int32)),
-    )
-    offsets = jnp.cumsum(counts) - counts
-    dest = offsets[bucket] + rank
-    out_k = jnp.zeros_like(keys).at[dest].set(keys, unique_indices=True)
-    out_v = jnp.zeros_like(values).at[dest].set(values, unique_indices=True)
-    return out_k, out_v, counts, offsets
+def _compact_blocks(rk, rv, recv_counts, num_devices: int, capacity: int):
+    """(D, capacity) received blocks -> front-compacted [D*capacity] arrays
+    via ascending `lax.dynamic_update_slice` (contiguous DMAs). Block b lands
+    at the running count of blocks < b; each write's pad tail is overwritten
+    by the next block, and every slot >= total holds (0xFFFFFFFF, 0) fill —
+    positionally AFTER all real elements, so a stable sort keeps real
+    0xFFFFFFFF keys ahead of the pads."""
+    total_slots = num_devices * capacity
+    out_k = jnp.full((total_slots,), 0xFFFFFFFF, dtype=jnp.uint32)
+    out_v = jnp.zeros((total_slots,), dtype=jnp.uint32)
+    roff = jnp.cumsum(recv_counts) - recv_counts
+    for b in range(num_devices):
+        out_k = jax.lax.dynamic_update_slice(out_k, rk[b], (roff[b],))
+        out_v = jax.lax.dynamic_update_slice(out_v, rv[b], (roff[b],))
+    return out_k, out_v, jnp.sum(recv_counts)
 
 
 def _exchange_ragged(bk, bv, counts, offsets, axis_name, num_devices, recv_capacity):
@@ -193,31 +198,36 @@ def _dist_sort_shard(
     """Per-shard body (runs under shard_map; keys/values are the local shard)."""
     sk, si = _sample_splitters(keys, axis_name, num_devices, num_samples)
     bucket = _bucket_of(keys, axis_name, sk, si)
+    pk, pv, counts, offsets = _partition_by_bucket(
+        keys, values, bucket, num_devices, backend
+    )
 
     if exchange == "ragged":
-        bk, bv, counts, offsets = _compact_buckets(keys, values, bucket, num_devices)
         recv_capacity = capacity * num_devices
         rk, rv, total, overflow = _exchange_ragged(
-            bk, bv, counts, offsets, axis_name, num_devices, recv_capacity
+            pk, pv, counts, offsets, axis_name, num_devices, recv_capacity
         )
         # blocks are packed from offset 0 in src order; pads form a contiguous
-        # 0xFFFFFFFF tail, which a stable sort keeps after any real keys
-        # (reals precede pads positionally) — no positional pad tracking needed
+        # (0xFFFFFFFF, 0) tail, which the stable sort keeps after any real
+        # keys (reals precede pads positionally)
         out_k, out_v = radix_sort(rk, rv, backend=backend)
         pos = jnp.arange(recv_capacity, dtype=jnp.int32)
         out_k = jnp.where(pos < total, out_k, jnp.uint32(0xFFFFFFFF))
         count = total
     else:
-        bk, bv, counts, overflow = _partition_to_buckets(
-            keys, values, bucket, num_devices, capacity
+        bk, bv, sent, overflow = _spread_to_padded(
+            pk, pv, counts, offsets, num_devices, capacity
         )
         # ONE padded bucket exchange over ICI; blocks arrive in source order.
-        bk = jax.lax.all_to_all(bk.reshape(num_devices, capacity), axis_name, 0, 0)
-        bv = jax.lax.all_to_all(bv.reshape(num_devices, capacity), axis_name, 0, 0)
-        recv_counts = jax.lax.all_to_all(counts.reshape(num_devices, 1), axis_name, 0, 0)
-        out_k, out_v, count = _compact_received(
-            bk.reshape(-1), bv.reshape(-1), recv_counts.reshape(-1), capacity, backend
+        rk = jax.lax.all_to_all(bk, axis_name, 0, 0)
+        rv = jax.lax.all_to_all(bv, axis_name, 0, 0)
+        recv_counts = jax.lax.all_to_all(sent.reshape(num_devices, 1), axis_name, 0, 0)
+        ck, cv, count = _compact_blocks(
+            rk, rv, recv_counts.reshape(-1), num_devices, capacity
         )
+        out_k, out_v = radix_sort(ck, cv, backend=backend)
+        pos = jnp.arange(num_devices * capacity, dtype=jnp.int32)
+        out_k = jnp.where(pos < count, out_k, jnp.uint32(0xFFFFFFFF))
     any_overflow = jax.lax.pmax(overflow.astype(jnp.int32), axis_name)
     return out_k, out_v, count[None], any_overflow[None]
 
