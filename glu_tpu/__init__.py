@@ -30,7 +30,7 @@ from .utils.math import (
 from .utils.buffers import DeviceBuffer, copy_buffer
 from .utils.timing import measure_elapsed_time
 from .ops.reduce import Reduce, ReduceOperator, reduce
-from .ops.scan import BlellochScan, exclusive_scan
+from .ops.scan import BlellochScan, exclusive_scan, inclusive_scan
 from .ops.radix_sort import (
     RadixSort,
     radix_sort,
@@ -67,6 +67,7 @@ __all__ = [
     "reduce",
     "BlellochScan",
     "exclusive_scan",
+    "inclusive_scan",
     "RadixSort",
     "radix_sort",
     "radix_sort_f32",

@@ -12,7 +12,7 @@ Each operator has:
 """
 
 from .reduce import Reduce, ReduceOperator, reduce
-from .scan import BlellochScan, exclusive_scan
+from .scan import BlellochScan, exclusive_scan, inclusive_scan
 from .radix_sort import (
     RadixSort,
     radix_sort,

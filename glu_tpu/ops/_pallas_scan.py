@@ -14,7 +14,15 @@ dispatches (glu/BlellochScan.hpp:142-190). One sequential-grid kernel:
     BlellochScan.hpp:125-138) maps to a leading grid axis that resets the
     carry at each partition boundary.
 
-Exclusive conversion is `inclusive - x + carry`, exact for wrapping uint32.
+Operators: the reference hardcodes `+` (BlellochScan.hpp:99-100); here the
+kernel is generic over sum/mul/min/max. Exclusive conversion for sum is
+`inclusive - x + carry` (exact for wrapping uint32); non-invertible ops
+(min/max; mul has zero divisors) instead shift the inclusive tile by one
+row-major slot — a lane roll plus a sublane roll of the last-lane column —
+and seed slot 0 with the operator identity. Unsigned u32 runs through the
+same Mosaic isomorphisms as the reduce kernel (_pallas_reduce.py): bitcast
+to i32 for mul (same ring mod 2^32), sign-bit flip for min/max (order
+isomorphism).
 """
 
 from __future__ import annotations
@@ -24,63 +32,121 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .reduce import ReduceOperator, combine_fn, identity_for
 from ._pallas_common import LANES, cdiv, col_ids, interpret_mode, pick_block_rows, round_up
 
 
-def _scan_lanes_inclusive(x: jax.Array) -> jax.Array:
-    """Inclusive scan along the lane (minor) axis via log-step shifted adds —
-    the VPU analog of the subgroup shuffle tree (BlellochScan.hpp:34)."""
+def _scan_lanes_inclusive(x: jax.Array, combine=jnp.add, identity=0) -> jax.Array:
+    """Inclusive scan along the lane (minor) axis via log-step shifted
+    combines — the VPU analog of the subgroup shuffle tree
+    (BlellochScan.hpp:34)."""
     cols = col_ids(x.shape)
+    ident = jnp.full_like(x, identity)
     s = 1
     while s < x.shape[-1]:
         shifted = pltpu.roll(x, s, axis=x.ndim - 1)
-        x = x + jnp.where(cols >= s, shifted, jnp.zeros_like(x))
+        x = combine(x, jnp.where(cols >= s, shifted, ident))
         s *= 2
     return x
 
 
-def _scan_rows_inclusive(x: jax.Array) -> jax.Array:
+def _scan_rows_inclusive(x: jax.Array, combine=jnp.add, identity=0) -> jax.Array:
     """Inclusive scan along the sublane (second-minor) axis, same scheme."""
     rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
+    ident = jnp.full_like(x, identity)
     s = 1
     while s < x.shape[-2]:
         shifted = pltpu.roll(x, s, axis=x.ndim - 2)
-        x = x + jnp.where(rows >= s, shifted, jnp.zeros_like(x))
+        x = combine(x, jnp.where(rows >= s, shifted, ident))
         s *= 2
     return x
 
 
-def tile_inclusive_rowmajor(x: jax.Array) -> jax.Array:
+def tile_inclusive_rowmajor(x: jax.Array, op: ReduceOperator = ReduceOperator.SUM) -> jax.Array:
     """Inclusive scan of a (R, 128) tile in row-major element order."""
-    inc = _scan_lanes_inclusive(x)
-    totals = inc[:, LANES - 1 : LANES]  # (R, 1) row sums
-    # measured (proto/scan_lab.py, 268M on v5e): the sublane log-scan of the
-    # (R, 1) column beats narrow_cumsum_incl here at every block size (the
-    # (R,1)->(R/128,128) reshape relayout costs more than full-width saves
-    # in this kernel, unlike in the sort where the narrow scan won)
-    row_prefix = _scan_rows_inclusive(totals) - totals
-    return inc + row_prefix
+    if op == ReduceOperator.SUM:
+        inc = _scan_lanes_inclusive(x)
+        totals = inc[:, LANES - 1 : LANES]  # (R, 1) row sums
+        # measured (proto/scan_lab.py, 268M on v5e): the sublane log-scan of
+        # the (R, 1) column beats narrow_cumsum_incl here at every block size
+        # (the (R,1)->(R/128,128) reshape relayout costs more than full-width
+        # saves in this kernel, unlike in the sort where the narrow scan won)
+        row_prefix = _scan_rows_inclusive(totals) - totals
+        return inc + row_prefix
+    combine = combine_fn(op)
+    identity = identity_for(op, x.dtype)
+    inc = _scan_lanes_inclusive(x, combine, identity)
+    totals = inc[:, LANES - 1 : LANES]
+    # exclusive row prefix without inversion: roll the inclusive row totals
+    # down one sublane and seed row 0 with the identity
+    tot_inc = _scan_rows_inclusive(totals, combine, identity)
+    rows = jax.lax.broadcasted_iota(jnp.int32, totals.shape, 0)
+    row_prefix = jnp.where(rows == 0, jnp.full_like(totals, identity), pltpu.roll(tot_inc, 1, axis=0))
+    return combine(inc, row_prefix)
 
 
-def _scan_kernel(dtype):
+def _work_transform(dtype, op: ReduceOperator):
+    """(to_work, from_work, work_dtype) for Mosaic-safe arithmetic — the same
+    u32 isomorphisms as _pallas_reduce._to_signed: u32 mul runs bitcast in the
+    i32 ring, u32 min/max in the sign-flipped i32 order; sum and all signed/
+    float dtypes run natively."""
+    if jnp.dtype(dtype) != jnp.uint32 or op == ReduceOperator.SUM:
+        return (lambda x: x), (lambda x: x), dtype
+    if op == ReduceOperator.MUL:
+        return (
+            lambda x: pltpu.bitcast(x, jnp.int32),
+            lambda x: pltpu.bitcast(x, jnp.uint32),
+            jnp.int32,
+        )
+    # numpy scalar, not jnp: a jnp constant would be captured by the kernel
+    # closure, which pallas_call rejects
+    bias = jnp.dtype(jnp.uint32).type(0x80000000)
+    return (
+        lambda x: pltpu.bitcast(x ^ bias, jnp.int32),
+        lambda x: pltpu.bitcast(x, jnp.uint32) ^ bias,
+        jnp.int32,
+    )
+
+
+def _scan_kernel(dtype, op: ReduceOperator, block_rows: int):
+    to_work, from_work, work_dtype = _work_transform(dtype, op)
+    combine = combine_fn(op)
+    identity = identity_for(op, work_dtype)
+
     def kernel(x_ref, o_ref, carry_ref):
         b = pl.program_id(1)
 
         @pl.when(b == 0)
         def _():
-            carry_ref[0] = jnp.zeros((), dtype)
+            carry_ref[0] = jnp.full((), identity, work_dtype)
 
-        x = x_ref[0]
-        inc = tile_inclusive_rowmajor(x)
+        x = to_work(x_ref[0])
+        inc = tile_inclusive_rowmajor(x, op)
         carry = carry_ref[0]
-        o_ref[0] = inc - x + carry
-        carry_ref[0] = carry + inc[x.shape[0] - 1, LANES - 1]
+        if op == ReduceOperator.SUM:
+            exc = inc - x + carry
+        else:
+            # shift the inclusive scan one row-major slot: lane-roll the tile,
+            # fix lane 0 of each row from the previous row's last lane, seed
+            # slot (0, 0) with the identity, then fold in the carry
+            lastcol = inc[:, LANES - 1 : LANES]
+            rows1 = jax.lax.broadcasted_iota(jnp.int32, lastcol.shape, 0)
+            prev_row = jnp.where(
+                rows1 == 0, jnp.full_like(lastcol, identity), pltpu.roll(lastcol, 1, axis=0)
+            )
+            cols = col_ids(x.shape)
+            exc = jnp.where(cols == 0, prev_row, pltpu.roll(inc, 1, axis=1))
+            exc = combine(exc, jnp.full_like(exc, carry))
+        o_ref[0] = from_work(exc)
+        carry_ref[0] = combine(carry, inc[block_rows - 1, LANES - 1])
 
-    return kernel
+    return kernel, work_dtype
 
 
-def pallas_exclusive_scan(x: jax.Array, num_partitions: int = 1) -> jax.Array:
-    """Exclusive prefix sum over adjacent equal-length partitions of a 1-D x."""
+def pallas_exclusive_scan(
+    x: jax.Array, num_partitions: int = 1, op: ReduceOperator = ReduceOperator.SUM
+) -> jax.Array:
+    """Exclusive prefix scan over adjacent equal-length partitions of a 1-D x."""
     n = x.shape[0]
     dtype = x.dtype
     part = n // num_partitions
@@ -95,11 +161,14 @@ def pallas_exclusive_scan(x: jax.Array, num_partitions: int = 1) -> jax.Array:
 
     seg = x.reshape(num_partitions, part)
     if padded_part != part:
-        seg = jnp.pad(seg, ((0, 0), (0, padded_part - part)))
+        # pad with the operator identity (in the ORIGINAL domain) so pads at
+        # the partition tail never perturb real prefixes
+        seg = jnp.pad(seg, ((0, 0), (0, padded_part - part)), constant_values=identity_for(op, dtype))
     seg3 = seg.reshape(num_partitions, rows, LANES)
 
+    kernel, work_dtype = _scan_kernel(dtype, op, block_rows)
     out = pl.pallas_call(
-        _scan_kernel(dtype),
+        kernel,
         grid=(num_partitions, num_blocks),
         in_specs=[
             pl.BlockSpec((1, block_rows, LANES), lambda p, b: (p, b, 0), memory_space=pltpu.VMEM)
@@ -108,7 +177,7 @@ def pallas_exclusive_scan(x: jax.Array, num_partitions: int = 1) -> jax.Array:
             (1, block_rows, LANES), lambda p, b: (p, b, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(seg3.shape, dtype),
-        scratch_shapes=[pltpu.SMEM((1,), dtype)],
+        scratch_shapes=[pltpu.SMEM((1,), work_dtype)],
         interpret=interpret_mode(),
     )(seg3)
     out2 = out.reshape(num_partitions, padded_part)

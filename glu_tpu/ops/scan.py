@@ -15,8 +15,10 @@ equal-length segments — maps to a leading partition axis here, and is what
 the radix sort uses for its [16][num_blocks] offset table (RadixSort.hpp:311).
 
 Parity notes:
-  - operator is `+` with identity 0, as in the reference (OPERATION/IDENTITY
-    hardcoded at BlellochScan.hpp:99-100 despite the dtype arg);
+  - default operator is `+` with identity 0, as in the reference (OPERATION/
+    IDENTITY hardcoded at BlellochScan.hpp:99-100 despite the dtype arg) —
+    but the op is a parameter here (sum/mul/min/max, sharing the reduce
+    operator enum), resolving the reference's hardcoded-op limitation;
   - the class form requires power-of-2 partition length, matching the
     reference's check (BlellochScan.hpp:134); the functional form lifts that
     restriction (the reference's own TODO) via internal padding;
@@ -35,30 +37,36 @@ from ..utils.dtypes import DataType, check_dtype_supported
 from ..utils.errors import check_argument
 from ..utils.math import is_power_of_2
 from .backend import resolve_backend
+from .reduce import ReduceOperator, combine_fn, identity_for
 
 
-@partial(jax.jit, static_argnames=("num_partitions", "backend"))
-def _scan_impl(x: jax.Array, num_partitions: int, backend: str) -> jax.Array:
+@partial(jax.jit, static_argnames=("num_partitions", "op", "backend"))
+def _scan_impl(x: jax.Array, num_partitions: int, op: ReduceOperator, backend: str) -> jax.Array:
     if backend == "pallas":
         from ._pallas_scan import pallas_exclusive_scan
 
-        return pallas_exclusive_scan(x, num_partitions)
+        return pallas_exclusive_scan(x, num_partitions, op)
     n = x.shape[0]
     seg = x.reshape(num_partitions, n // num_partitions)
-    inc = jnp.cumsum(seg, axis=1, dtype=x.dtype)
-    return (inc - seg).reshape(n)
+    # accumulator dtype pinned to the input dtype so u32 sums/products wrap
+    # mod 2^32 exactly like the reference's GLSL uint arithmetic
+    if op == ReduceOperator.SUM:
+        inc = jnp.cumsum(seg, axis=1, dtype=x.dtype)
+        return (inc - seg).reshape(n)
+    if op == ReduceOperator.MUL:
+        inc = jnp.cumprod(seg, axis=1, dtype=x.dtype)
+    elif op == ReduceOperator.MIN:
+        inc = jax.lax.cummin(seg, axis=1)
+    else:
+        inc = jax.lax.cummax(seg, axis=1)
+    # non-invertible ops: exclusive = inclusive shifted right one slot with
+    # the identity seeding each partition's slot 0
+    first = jnp.full((num_partitions, 1), identity_for(op, x.dtype), x.dtype)
+    return jnp.concatenate([first, inc[:, :-1]], axis=1).reshape(n)
 
 
-def exclusive_scan(
-    x: jax.Array, num_partitions: int = 1, *, backend: str | None = None
-) -> jax.Array:
-    """Exclusive prefix sum of x, independently over `num_partitions` adjacent
-    equal-length partitions. Returns a new array (not in-place).
-
-    x: (N,) with N divisible by num_partitions. Any partition length >= 1
-    (power-of-2 NOT required — the reference's restriction is lifted).
-    """
-    check_argument(x.ndim == 1, "exclusive_scan expects a 1-D array, got shape %s", x.shape)
+def _check_scan_args(x: jax.Array, num_partitions: int, op) -> None:
+    check_argument(x.ndim == 1, "scan expects a 1-D array, got shape %s", x.shape)
     check_argument(num_partitions >= 1, "num_partitions must be >= 1")
     check_argument(
         x.shape[0] % num_partitions == 0,
@@ -66,7 +74,40 @@ def exclusive_scan(
         x.shape[0],
         num_partitions,
     )
-    return _scan_impl(x, num_partitions, resolve_backend(backend))
+    check_argument(isinstance(op, ReduceOperator), "Invalid operator: %s", op)
+
+
+def exclusive_scan(
+    x: jax.Array,
+    num_partitions: int = 1,
+    op: ReduceOperator = ReduceOperator.SUM,
+    *,
+    backend: str | None = None,
+) -> jax.Array:
+    """Exclusive prefix scan of x under `op` (default sum), independently over
+    `num_partitions` adjacent equal-length partitions. Returns a new array
+    (not in-place).
+
+    x: (N,) with N divisible by num_partitions. Any partition length >= 1
+    (power-of-2 NOT required — the reference's restriction is lifted).
+    """
+    _check_scan_args(x, num_partitions, op)
+    return _scan_impl(x, num_partitions, op, resolve_backend(backend))
+
+
+def inclusive_scan(
+    x: jax.Array,
+    num_partitions: int = 1,
+    op: ReduceOperator = ReduceOperator.SUM,
+    *,
+    backend: str | None = None,
+) -> jax.Array:
+    """Inclusive prefix scan: `out[i] = op(x[j] for j <= i)` within each
+    partition. Derived as `op(exclusive, x)` elementwise — exact for every
+    operator (wrapping uint32 sums/products included)."""
+    _check_scan_args(x, num_partitions, op)
+    exc = _scan_impl(x, num_partitions, op, resolve_backend(backend))
+    return combine_fn(op)(exc, x)
 
 
 class BlellochScan:
@@ -75,16 +116,19 @@ class BlellochScan:
     `BlellochScan(DataType.UINT)(buffer, count, num_partitions)` scans the
     first count*num_partitions elements in place (buffer form) and returns
     the scanned array. Enforces the reference's power-of-2 `count` check
-    (BlellochScan.hpp:134).
+    (BlellochScan.hpp:134). The optional `operator` (default SUM, the
+    reference's hardcoded op) extends the class form to mul/min/max.
     """
 
-    def __init__(self, data_type: DataType):
+    def __init__(self, data_type: DataType, operator: ReduceOperator = ReduceOperator.SUM):
         self.info = check_dtype_supported(data_type)
         check_argument(
             self.info.components == 1,
             "BlellochScan supports scalar types (the reference only exercises uint)",
         )
+        check_argument(isinstance(operator, ReduceOperator), "Invalid operator: %s", operator)
         self.data_type = data_type
+        self.operator = operator
 
     def __call__(
         self,
@@ -101,7 +145,7 @@ class BlellochScan:
         check_argument(
             total <= data.shape[0], "count*num_partitions %d exceeds buffer size %d", total, data.shape[0]
         )
-        result = exclusive_scan(data[:total], num_partitions, backend=backend)
+        result = exclusive_scan(data[:total], num_partitions, self.operator, backend=backend)
         if isinstance(buffer, DeviceBuffer):
             buffer.data = buffer.data.at[:total].set(result)
             return buffer.data[:total]

@@ -1,13 +1,30 @@
 """Blelloch scan tests — mirrors reference test/blelloch_scan_tests.cpp
 (exclusive_scan oracle, exact equality, partition batches) plus gaps: non-
-power-of-2 lengths (functional form), u32 wraparound, int dtype."""
+power-of-2 lengths (functional form), u32 wraparound, int dtype, and the
+non-sum operators (mul/min/max — the reference hardcodes `+`,
+BlellochScan.hpp:99-100)."""
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from glu_tpu import BlellochScan, DataType, DeviceBuffer, exclusive_scan
+from glu_tpu import (
+    BlellochScan,
+    DataType,
+    DeviceBuffer,
+    ReduceOperator,
+    exclusive_scan,
+    inclusive_scan,
+)
+from glu_tpu.ops.reduce import identity_for
 from glu_tpu.utils.errors import GluArgumentError
+
+_UFUNCS = {
+    ReduceOperator.SUM: np.add,
+    ReduceOperator.MUL: np.multiply,
+    ReduceOperator.MIN: np.minimum,
+    ReduceOperator.MAX: np.maximum,
+}
 
 
 def _oracle(x: np.ndarray, num_partitions: int = 1) -> np.ndarray:
@@ -15,6 +32,17 @@ def _oracle(x: np.ndarray, num_partitions: int = 1) -> np.ndarray:
     seg = x.reshape(num_partitions, part)
     inc = np.cumsum(seg, axis=1, dtype=x.dtype)
     return (inc - seg).reshape(x.size)
+
+
+def _oracle_op(
+    x: np.ndarray, op: ReduceOperator, num_partitions: int = 1, inclusive: bool = False
+) -> np.ndarray:
+    seg = x.reshape(num_partitions, x.size // num_partitions)
+    inc = _UFUNCS[op].accumulate(seg, axis=1).astype(x.dtype)
+    if inclusive:
+        return inc.reshape(x.size)
+    first = np.full((num_partitions, 1), identity_for(op, x.dtype), x.dtype)
+    return np.concatenate([first, inc[:, :-1]], axis=1).reshape(x.size)
 
 
 @pytest.mark.parametrize("size", [1024, 4096, 65536, 1 << 20])
@@ -74,6 +102,80 @@ def test_scan_class_in_place(backend):
     buf = DeviceBuffer(data)
     scan(buf, 16, backend=backend)
     np.testing.assert_array_equal(buf.get_data(), _oracle(data))
+
+
+_NON_SUM = [ReduceOperator.MUL, ReduceOperator.MIN, ReduceOperator.MAX]
+
+
+@pytest.mark.parametrize("op", _NON_SUM)
+@pytest.mark.parametrize("size", [1, 100, 1024, 12345, 99999])
+def test_scan_ops_u32(op, size, backend, seeded_rng):
+    # mul/min/max exclusive scans (reference hardcodes `+`); sizes cross the
+    # non-pow-2 padding and the multi-block carry chain (99999 -> 2 blocks)
+    rng = seeded_rng(size * 10 + op.value)
+    data = rng.sample_int_vector(size, 0, 0xFFFFFFFF)
+    if op == ReduceOperator.MUL:
+        data = (data | 1).astype(np.uint32)  # odd factors: u32 products wrap, stay nonzero
+    got = np.asarray(exclusive_scan(jnp.asarray(data), op=op, backend=backend))
+    np.testing.assert_array_equal(got, _oracle_op(data, op))
+
+
+@pytest.mark.parametrize("op", _NON_SUM)
+@pytest.mark.parametrize("num_partitions", [4, 100])
+def test_scan_ops_partitions(op, num_partitions, backend, seeded_rng):
+    # the carry must reset to the op identity at every partition boundary
+    part = 512
+    rng = seeded_rng(num_partitions + op.value)
+    data = rng.sample_int_vector(part * num_partitions, 0, 0xFFFFFFFF)
+    got = np.asarray(
+        exclusive_scan(jnp.asarray(data), num_partitions, op, backend=backend)
+    )
+    np.testing.assert_array_equal(got, _oracle_op(data, op, num_partitions))
+
+
+@pytest.mark.parametrize("op", [ReduceOperator.MIN, ReduceOperator.MAX])
+def test_scan_ops_int32_negatives(op, backend):
+    data = np.array([3, -1, 4, -1, 5, -9, 2, 6, -2147483648, 2147483647] * 200, dtype=np.int32)
+    got = np.asarray(exclusive_scan(jnp.asarray(data), op=op, backend=backend))
+    np.testing.assert_array_equal(got, _oracle_op(data, op))
+
+
+@pytest.mark.parametrize("op", [ReduceOperator.MIN, ReduceOperator.MAX])
+def test_scan_ops_f32(op, backend, seeded_rng):
+    rng = seeded_rng(7 + op.value)
+    data = (
+        rng.sample_int_vector(5000, 0, 2_000_000).astype(np.int64) - 1_000_000
+    ).astype(np.float32)
+    got = np.asarray(exclusive_scan(jnp.asarray(data), op=op, backend=backend))
+    np.testing.assert_array_equal(got, _oracle_op(data, op))
+
+
+def test_scan_mul_wraps_mod_2_32(backend):
+    data = np.full(4096, 0x80000003, dtype=np.uint32)
+    got = np.asarray(exclusive_scan(jnp.asarray(data), op=ReduceOperator.MUL, backend=backend))
+    np.testing.assert_array_equal(got, _oracle_op(data, ReduceOperator.MUL))
+
+
+@pytest.mark.parametrize("op", list(_UFUNCS))
+def test_inclusive_scan(op, backend, seeded_rng):
+    rng = seeded_rng(op.value)
+    data = rng.sample_int_vector(10000, 0, 0xFFFFFFFF)
+    got = np.asarray(inclusive_scan(jnp.asarray(data), op=op, backend=backend))
+    np.testing.assert_array_equal(got, _oracle_op(data, op, inclusive=True))
+
+
+def test_scan_class_operator(backend):
+    # class form with a non-default operator (superset of the reference ctor)
+    scan = BlellochScan(DataType.UINT, ReduceOperator.MAX)
+    data = np.array([5, 3, 9, 1, 7, 2, 8, 4] * 2, dtype=np.uint32)
+    buf = DeviceBuffer(data)
+    scan(buf, 16, backend=backend)
+    np.testing.assert_array_equal(buf.get_data(), _oracle_op(data, ReduceOperator.MAX))
+
+
+def test_scan_rejects_bad_operator():
+    with pytest.raises(GluArgumentError):
+        exclusive_scan(jnp.arange(8, dtype=jnp.uint32), op="sum")
 
 
 def test_scan_class_partitions_subset(backend):
