@@ -7,4 +7,4 @@ single padded all-to-all bucket exchange over ICI, and stable local sorts —
 composed from the same single-chip kernels via `jax.shard_map`.
 """
 
-from .dist_sort import distributed_radix_sort, make_sort_mesh
+from .dist_sort import distributed_radix_sort, distributed_radix_sort_f32, make_sort_mesh

@@ -243,6 +243,7 @@ def distributed_radix_sort(
     backend: str | None = None,
     exchange: str = "padded",
     max_retries: int = 3,
+    descending: bool = False,
 ):
     """Globally sort sharded u32 (key, value) pairs across `mesh`.
 
@@ -255,6 +256,11 @@ def distributed_radix_sort(
     if capacity_factor doubled `max_retries` times still could not hold the
     key skew (results are then incomplete — the overflowed elements were
     dropped; pass a larger capacity_factor or max_retries).
+
+    descending=True sorts high-to-low (device 0 holds the LARGEST keys),
+    stable, via complemented keys — same scheme as the single-chip engine
+    (ops/radix_sort.py); pad slots then hold 0x00000000 instead of
+    0xFFFFFFFF (still positionally after every real element).
 
     exchange: "padded" (dense all_to_all with per-(src,dst) block capacity
     capacity_factor*n_local/D — portable, but range-correlated inputs like
@@ -271,6 +277,8 @@ def distributed_radix_sort(
     """
     num_devices = mesh.shape[axis_name]
     check_argument(keys.ndim == 1 and values.ndim == 1, "keys/values must be 1-D")
+    check_argument(keys.dtype == jnp.uint32, "keys must be uint32, got %s", keys.dtype)
+    check_argument(values.dtype == jnp.uint32, "values must be uint32, got %s", values.dtype)
     check_argument(keys.shape == values.shape, "keys/values length mismatch")
     check_argument(
         keys.shape[0] % num_devices == 0,
@@ -280,6 +288,8 @@ def distributed_radix_sort(
     )
     local_n = keys.shape[0] // num_devices
     spec = jax.sharding.PartitionSpec(axis_name)
+    if descending:
+        keys = ~keys  # bitwise NOT reverses u32 order; stability is preserved
 
     def attempt(cf: float):
         capacity = int(np.ceil(cf * local_n / num_devices))
@@ -312,4 +322,32 @@ def distributed_radix_sort(
         # hold ANY distribution, so doubling always terminates
         cf = min(cf * 2.0, float(num_devices))
         out = attempt(cf)
+    if descending:
+        out = (~out[0], out[1], out[2], out[3])
     return out
+
+
+def distributed_radix_sort_f32(
+    keys: jax.Array,
+    values: jax.Array,
+    mesh: jax.sharding.Mesh,
+    *,
+    descending: bool = False,
+    **kwargs,
+):
+    """Globally sort sharded f32 (key, value) pairs across `mesh`, via the
+    same order-preserving f32<->u32 bijection as the single-chip
+    radix_sort_f32 (IEEE-754 total order: -NaN < -inf < ... < +inf < +NaN).
+    The bijection is monotonic, so splitter sampling, bucket ranges, and the
+    per-device output ranges all carry over unchanged.
+
+    Same contract as distributed_radix_sort, except keys are float32 and pad
+    slots (positions >= counts[d]) decode to NaN.
+    """
+    check_argument(keys.dtype == jnp.float32, "keys must be float32, got %s", keys.dtype)
+    from ..ops.radix_sort import _f32_to_sortable_u32, _sortable_u32_to_f32
+
+    out = distributed_radix_sort(
+        _f32_to_sortable_u32(keys), values, mesh, descending=descending, **kwargs
+    )
+    return (_sortable_u32_to_f32(out[0]), out[1], out[2], out[3])

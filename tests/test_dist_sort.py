@@ -12,7 +12,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from glu_tpu.parallel import distributed_radix_sort, make_sort_mesh
+from glu_tpu.parallel import (
+    distributed_radix_sort,
+    distributed_radix_sort_f32,
+    make_sort_mesh,
+)
+from glu_tpu.utils.errors import GluArgumentError
 
 
 def _global_result(out_k, out_v, counts, num_devices):
@@ -118,6 +123,69 @@ def test_dist_sort_pallas_backend_duplicates(seeded_rng, monkeypatch):
     monkeypatch.setenv("GLU_TPU_PALLAS_INTERPRET", "1")
     rng = seeded_rng(7)
     _run(rng.sample_int_vector(8 * 512, 0, 3), backend="pallas")
+
+
+def test_dist_sort_descending(seeded_rng):
+    # high-to-low across the mesh: device 0 holds the LARGEST keys; stable
+    mesh = make_sort_mesh(jax.devices()[:8])
+    rng = seeded_rng(8)
+    keys = rng.sample_int_vector(8 * 1024, 0, 50)  # heavy ties: checks stability
+    vals = np.arange(keys.size, dtype=np.uint32)
+    spec = jax.sharding.PartitionSpec("shards")
+    sharding = jax.sharding.NamedSharding(mesh, spec)
+    out_k, out_v, counts, overflow = distributed_radix_sort(
+        jax.device_put(jnp.asarray(keys), sharding),
+        jax.device_put(jnp.asarray(vals), sharding),
+        mesh,
+        backend="xla",
+        descending=True,
+    )
+    assert int(np.asarray(overflow)[0]) == 0
+    gk, gv = _global_result(out_k, out_v, np.asarray(counts), 8)
+    order = np.argsort(~keys, kind="stable")  # descending, ties in input order
+    np.testing.assert_array_equal(gk, keys[order])
+    np.testing.assert_array_equal(gv, order.astype(np.uint32))
+
+
+def test_dist_sort_f32(seeded_rng):
+    # f32 keys incl. negatives, -0.0/+0.0, and infinities, via the
+    # order-preserving bijection; stable on ties
+    mesh = make_sort_mesh(jax.devices()[:8])
+    rng = seeded_rng(9)
+    keys = (rng.sample_int_vector(8 * 1024, 0, 2_000_000).astype(np.int64) - 1_000_000).astype(
+        np.float32
+    ) / 997.0
+    keys[:4] = [np.inf, -np.inf, 0.0, -0.0]
+    vals = np.arange(keys.size, dtype=np.uint32)
+    spec = jax.sharding.PartitionSpec("shards")
+    sharding = jax.sharding.NamedSharding(mesh, spec)
+    out_k, out_v, counts, overflow = distributed_radix_sort_f32(
+        jax.device_put(jnp.asarray(keys), sharding),
+        jax.device_put(jnp.asarray(vals), sharding),
+        mesh,
+        backend="xla",
+    )
+    assert int(np.asarray(overflow)[0]) == 0
+    gk, gv = _global_result(out_k, out_v, np.asarray(counts), 8)
+    # IEEE total order == numpy ascending sort for these finite/inf inputs;
+    # -0.0 sorts before +0.0 in the bijection, matching stable argsort of the
+    # u32-mapped keys
+    u = (keys.view(np.uint32) ^ np.where(keys.view(np.uint32) >> 31 == 1, 0xFFFFFFFF, 0x80000000).astype(np.uint32))
+    order = np.argsort(u, kind="stable")
+    np.testing.assert_array_equal(gk.view(np.uint32), keys[order].view(np.uint32))
+    np.testing.assert_array_equal(gv, order.astype(np.uint32))
+
+
+def test_dist_sort_rejects_bad_dtypes():
+    mesh = make_sort_mesh(jax.devices()[:2])
+    k = jnp.arange(16, dtype=jnp.int32)
+    v = jnp.arange(16, dtype=jnp.uint32)
+    with pytest.raises(GluArgumentError):
+        distributed_radix_sort(k, v, mesh)
+    with pytest.raises(GluArgumentError):
+        distributed_radix_sort_f32(k.astype(jnp.float32), v.astype(jnp.int32), mesh)
+    with pytest.raises(GluArgumentError):
+        distributed_radix_sort_f32(k, v, mesh)
 
 
 def test_graft_entry_compiles():
