@@ -7,4 +7,10 @@ single padded all-to-all bucket exchange over ICI, and stable local sorts —
 composed from the same single-chip kernels via `jax.shard_map`.
 """
 
-from .dist_sort import distributed_radix_sort, distributed_radix_sort_f32, make_sort_mesh
+from .dist_sort import (
+    distributed_radix_sort,
+    distributed_radix_sort_f32,
+    distributed_radix_sort_u64,
+    distributed_radix_sort_u64_parts,
+    make_sort_mesh,
+)

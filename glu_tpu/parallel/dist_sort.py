@@ -39,8 +39,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.radix_sort import radix_sort
+from ..ops.radix_sort import radix_sort, radix_sort_u64_parts
 from ..utils.errors import check_argument
+
+_PAD_KEY = 0xFFFFFFFF
 
 
 def make_sort_mesh(devices=None, axis_name: str = "shards"):
@@ -95,77 +97,114 @@ def _bucket_of(keys, axis_name: str, splitter_keys, splitter_idx):
     return bucket
 
 
+def _sample_splitters64(hi, lo, axis_name: str, num_devices: int, num_samples: int):
+    """64-bit analog of _sample_splitters: quantiles in lexicographic
+    (hi, lo, global index) order. Returns (s_hi, s_lo, s_idx)."""
+    n = hi.shape[0]
+    me = jax.lax.axis_index(axis_name)
+    stride = max(n // num_samples, 1)
+    take = min(num_samples, n)
+    local_hi = jax.lax.dynamic_slice(hi[::stride], (0,), (take,))
+    local_lo = jax.lax.dynamic_slice(lo[::stride], (0,), (take,))
+    local_idx = (me * n + jnp.arange(take, dtype=jnp.uint32) * stride).astype(jnp.uint32)
+    all_hi = jax.lax.all_gather(local_hi, axis_name, tiled=True)
+    all_lo = jax.lax.all_gather(local_lo, axis_name, tiled=True)
+    all_idx = jax.lax.all_gather(local_idx, axis_name, tiled=True)
+    shi, slo, sidx = jax.lax.sort((all_hi, all_lo, all_idx), num_keys=3)
+    m = shi.shape[0]
+    q = (jnp.arange(1, num_devices, dtype=jnp.int32) * m) // num_devices
+    return shi[q], slo[q], sidx[q]
+
+
+def _bucket_of64(hi, lo, axis_name: str, s_hi, s_lo, s_idx):
+    """Destination bucket under lexicographic (hi, lo, global index) order:
+    the count of splitters <= (hi, lo, index). Same unrolled-comparison
+    fusion as _bucket_of."""
+    n = hi.shape[0]
+    me = jax.lax.axis_index(axis_name)
+    gidx = (me * n + jnp.arange(n, dtype=jnp.uint32)).astype(jnp.uint32)
+    bucket = jnp.zeros(n, dtype=jnp.int32)
+    for i in range(s_hi.shape[0]):
+        le = (s_hi[i] < hi) | (
+            (s_hi[i] == hi)
+            & ((s_lo[i] < lo) | ((s_lo[i] == lo) & (s_idx[i] <= gidx)))
+        )
+        bucket = bucket + le.astype(jnp.int32)
+    return bucket
+
+
 def _num_bucket_steps(num_devices: int) -> int:
     """Radix passes needed to sort bucket ids in [0, D): 4 bits per pass."""
     bits = max(int(num_devices - 1).bit_length(), 1)
     return -(-bits // 4)
 
 
-def _partition_by_bucket(keys, values, bucket, num_devices: int, backend):
+def _partition_by_bucket(bucket, arrays, num_devices: int, backend):
     """Stable grouping of the local shard by destination bucket, using the
     radix engine (the fast path on every backend) instead of XLA scatter.
 
-    Two stable partial sorts keyed on the SAME bucket array apply the SAME
-    permutation to keys and values (stable sort of identical keys is a
-    deterministic permutation). Offsets come from a binary search over the
-    sorted bucket ids. Returns (keys, values, counts, offsets) with buckets
-    contiguous in ascending order."""
-    n = keys.shape[0]
+    One stable partial sort per payload array, all keyed on the SAME bucket
+    ids, applies the SAME permutation to every array (stable sort of
+    identical keys is a deterministic permutation). Offsets come from a
+    binary search over the sorted bucket ids. Returns (arrays, counts,
+    offsets) with buckets contiguous in ascending order."""
+    n = bucket.shape[0]
     if num_devices == 1:
-        return keys, values, jnp.full((1,), n, jnp.int32), jnp.zeros((1,), jnp.int32)
+        return arrays, jnp.full((1,), n, jnp.int32), jnp.zeros((1,), jnp.int32)
     steps = _num_bucket_steps(num_devices)
     b = bucket.astype(jnp.uint32)
-    sb, pk = radix_sort(b, keys, num_steps=steps, backend=backend)
-    _, pv = radix_sort(b, values, num_steps=steps, backend=backend)
+    outs = []
+    for a in arrays:
+        sb, pa = radix_sort(b, a, num_steps=steps, backend=backend)
+        outs.append(pa)
     offsets = jnp.searchsorted(
         sb, jnp.arange(num_devices, dtype=jnp.uint32), side="left"
     ).astype(jnp.int32)
     ends = jnp.concatenate([offsets[1:], jnp.full((1,), n, jnp.int32)])
     counts = ends - offsets
-    return pk, pv, counts, offsets
+    return outs, counts, offsets
 
 
-def _spread_to_padded(pk, pv, counts, offsets, num_devices: int, capacity: int):
+def _spread_to_padded(arrays, fills, counts, offsets, num_devices: int, capacity: int):
     """Bucket-contiguous arrays -> (D, capacity) padded blocks via one
-    `lax.dynamic_slice` (a contiguous DMA) per bucket. Inputs are extended by
-    `capacity` fill elements so no slice ever clamps (a clamped start would
-    misalign the block against its validity mask). Returns (padded keys,
-    padded values, sent counts, overflow flag)."""
-    fill_k = jnp.full((capacity,), 0xFFFFFFFF, dtype=jnp.uint32)
-    fill_v = jnp.zeros((capacity,), dtype=jnp.uint32)
-    pk_ext = jnp.concatenate([pk, fill_k])
-    pv_ext = jnp.concatenate([pv, fill_v])
+    `lax.dynamic_slice` (a contiguous DMA) per bucket per array. Inputs are
+    extended by `capacity` fill elements so no slice ever clamps (a clamped
+    start would misalign the block against its validity mask). Returns
+    (padded arrays, sent counts, overflow flag)."""
     j = jnp.arange(capacity, dtype=jnp.int32)
-    rows_k, rows_v = [], []
     sent = jnp.minimum(counts, capacity)
-    for b in range(num_devices):
-        kb = jax.lax.dynamic_slice(pk_ext, (offsets[b],), (capacity,))
-        vb = jax.lax.dynamic_slice(pv_ext, (offsets[b],), (capacity,))
-        valid = j < sent[b]
-        rows_k.append(jnp.where(valid, kb, fill_k))
-        rows_v.append(jnp.where(valid, vb, fill_v))
+    padded = []
+    for a, fill in zip(arrays, fills):
+        f = jnp.full((capacity,), fill, dtype=jnp.uint32)
+        ext = jnp.concatenate([a, f])
+        rows = []
+        for b in range(num_devices):
+            ab = jax.lax.dynamic_slice(ext, (offsets[b],), (capacity,))
+            rows.append(jnp.where(j < sent[b], ab, f))
+        padded.append(jnp.stack(rows))
     overflow = jnp.any(counts > capacity)
-    return jnp.stack(rows_k), jnp.stack(rows_v), sent, overflow
+    return padded, sent, overflow
 
 
-def _compact_blocks(rk, rv, recv_counts, num_devices: int, capacity: int):
+def _compact_blocks(received, fills, recv_counts, num_devices: int, capacity: int):
     """(D, capacity) received blocks -> front-compacted [D*capacity] arrays
     via ascending `lax.dynamic_update_slice` (contiguous DMAs). Block b lands
     at the running count of blocks < b; each write's pad tail is overwritten
-    by the next block, and every slot >= total holds (0xFFFFFFFF, 0) fill —
-    positionally AFTER all real elements, so a stable sort keeps real
-    0xFFFFFFFF keys ahead of the pads."""
+    by the next block, and every slot >= total holds the fill value
+    (0xFFFFFFFF for key words) — positionally AFTER all real elements, so a
+    stable sort keeps real 0xFFFFFFFF keys ahead of the pads."""
     total_slots = num_devices * capacity
-    out_k = jnp.full((total_slots,), 0xFFFFFFFF, dtype=jnp.uint32)
-    out_v = jnp.zeros((total_slots,), dtype=jnp.uint32)
     roff = jnp.cumsum(recv_counts) - recv_counts
-    for b in range(num_devices):
-        out_k = jax.lax.dynamic_update_slice(out_k, rk[b], (roff[b],))
-        out_v = jax.lax.dynamic_update_slice(out_v, rv[b], (roff[b],))
-    return out_k, out_v, jnp.sum(recv_counts)
+    outs = []
+    for r, fill in zip(received, fills):
+        out = jnp.full((total_slots,), fill, dtype=jnp.uint32)
+        for b in range(num_devices):
+            out = jax.lax.dynamic_update_slice(out, r[b], (roff[b],))
+        outs.append(out)
+    return outs, jnp.sum(recv_counts)
 
 
-def _exchange_ragged(bk, bv, counts, offsets, axis_name, num_devices, recv_capacity):
+def _exchange_ragged(arrays, fills, counts, offsets, axis_name, num_devices, recv_capacity):
     """Bucket exchange via XLA's ragged all-to-all over ICI (TPU pods; not
     implemented by XLA:CPU). Receiver-side capacity: robust to per-block
     skew (e.g. pre-sorted inputs where one src->dst block holds a whole
@@ -181,15 +220,51 @@ def _exchange_ragged(bk, bv, counts, offsets, axis_name, num_devices, recv_capac
     output_offsets = jnp.sum(below, axis=0)
     total_recv = jnp.sum(recv_sizes)
     overflow = total_recv > recv_capacity
-    fill_k = jnp.full((recv_capacity,), 0xFFFFFFFF, dtype=jnp.uint32)
-    fill_v = jnp.zeros((recv_capacity,), dtype=jnp.uint32)
-    rk = jax.lax.ragged_all_to_all(
-        bk, fill_k, offsets, counts, output_offsets, recv_sizes, axis_name=axis_name
-    )
-    rv = jax.lax.ragged_all_to_all(
-        bv, fill_v, offsets, counts, output_offsets, recv_sizes, axis_name=axis_name
-    )
-    return rk, rv, total_recv, overflow
+    outs = []
+    for a, fill in zip(arrays, fills):
+        f = jnp.full((recv_capacity,), fill, dtype=jnp.uint32)
+        outs.append(
+            jax.lax.ragged_all_to_all(
+                a, f, offsets, counts, output_offsets, recv_sizes, axis_name=axis_name
+            )
+        )
+    return outs, total_recv, overflow
+
+
+def _exchange_and_sort(arrays, fills, counts, offsets, local_sort, *,
+                       axis_name, num_devices, capacity, exchange):
+    """Bucket exchange (padded all_to_all or ragged) + front compaction +
+    stable local sort. `arrays` are bucket-contiguous; `local_sort` maps the
+    compacted array tuple to the sorted tuple (pads — fill values positioned
+    after every real element — must sort as a stable tail). Returns
+    (sorted arrays with canonical fill beyond `count`, count, overflow)."""
+    if exchange == "ragged":
+        recv_capacity = capacity * num_devices
+        received, count, overflow = _exchange_ragged(
+            arrays, fills, counts, offsets, axis_name, num_devices, recv_capacity
+        )
+        # blocks are packed from offset 0 in src order; pads form a
+        # contiguous fill tail which the stable sort keeps after any real
+        # keys (reals precede pads positionally)
+        compacted = received
+    else:
+        recv_capacity = capacity * num_devices
+        padded, sent, overflow = _spread_to_padded(
+            arrays, fills, counts, offsets, num_devices, capacity
+        )
+        # ONE padded bucket exchange over ICI; blocks arrive in source order.
+        received = [jax.lax.all_to_all(p, axis_name, 0, 0) for p in padded]
+        recv_counts = jax.lax.all_to_all(sent.reshape(num_devices, 1), axis_name, 0, 0)
+        compacted, count = _compact_blocks(
+            received, fills, recv_counts.reshape(-1), num_devices, capacity
+        )
+    out = list(local_sort(*compacted))
+    pos = jnp.arange(recv_capacity, dtype=jnp.int32)
+    # overwrite pad-tail key words with the canonical fill for a clean contract
+    for i, fill in enumerate(fills):
+        if fill == _PAD_KEY:
+            out[i] = jnp.where(pos < count, out[i], jnp.uint32(_PAD_KEY))
+    return out, count, overflow
 
 
 def _dist_sort_shard(
@@ -198,38 +273,46 @@ def _dist_sort_shard(
     """Per-shard body (runs under shard_map; keys/values are the local shard)."""
     sk, si = _sample_splitters(keys, axis_name, num_devices, num_samples)
     bucket = _bucket_of(keys, axis_name, sk, si)
-    pk, pv, counts, offsets = _partition_by_bucket(
-        keys, values, bucket, num_devices, backend
+    arrays, counts, offsets = _partition_by_bucket(
+        bucket, [keys, values], num_devices, backend
     )
-
-    if exchange == "ragged":
-        recv_capacity = capacity * num_devices
-        rk, rv, total, overflow = _exchange_ragged(
-            pk, pv, counts, offsets, axis_name, num_devices, recv_capacity
-        )
-        # blocks are packed from offset 0 in src order; pads form a contiguous
-        # (0xFFFFFFFF, 0) tail, which the stable sort keeps after any real
-        # keys (reals precede pads positionally)
-        out_k, out_v = radix_sort(rk, rv, backend=backend)
-        pos = jnp.arange(recv_capacity, dtype=jnp.int32)
-        out_k = jnp.where(pos < total, out_k, jnp.uint32(0xFFFFFFFF))
-        count = total
-    else:
-        bk, bv, sent, overflow = _spread_to_padded(
-            pk, pv, counts, offsets, num_devices, capacity
-        )
-        # ONE padded bucket exchange over ICI; blocks arrive in source order.
-        rk = jax.lax.all_to_all(bk, axis_name, 0, 0)
-        rv = jax.lax.all_to_all(bv, axis_name, 0, 0)
-        recv_counts = jax.lax.all_to_all(sent.reshape(num_devices, 1), axis_name, 0, 0)
-        ck, cv, count = _compact_blocks(
-            rk, rv, recv_counts.reshape(-1), num_devices, capacity
-        )
-        out_k, out_v = radix_sort(ck, cv, backend=backend)
-        pos = jnp.arange(num_devices * capacity, dtype=jnp.int32)
-        out_k = jnp.where(pos < count, out_k, jnp.uint32(0xFFFFFFFF))
+    out, count, overflow = _exchange_and_sort(
+        arrays,
+        [_PAD_KEY, 0],
+        counts,
+        offsets,
+        lambda k, v: radix_sort(k, v, backend=backend),
+        axis_name=axis_name,
+        num_devices=num_devices,
+        capacity=capacity,
+        exchange=exchange,
+    )
     any_overflow = jax.lax.pmax(overflow.astype(jnp.int32), axis_name)
-    return out_k, out_v, count[None], any_overflow[None]
+    return out[0], out[1], count[None], any_overflow[None]
+
+
+def _dist_sort_shard64(
+    hi, lo, values, *, axis_name, num_devices, capacity, num_samples, backend, exchange
+):
+    """Per-shard body for 64-bit keys given as (hi, lo) u32 halves."""
+    shi, slo, sidx = _sample_splitters64(hi, lo, axis_name, num_devices, num_samples)
+    bucket = _bucket_of64(hi, lo, axis_name, shi, slo, sidx)
+    arrays, counts, offsets = _partition_by_bucket(
+        bucket, [hi, lo, values], num_devices, backend
+    )
+    out, count, overflow = _exchange_and_sort(
+        arrays,
+        [_PAD_KEY, _PAD_KEY, 0],
+        counts,
+        offsets,
+        lambda h, l, v: radix_sort_u64_parts(h, l, v, backend=backend),
+        axis_name=axis_name,
+        num_devices=num_devices,
+        capacity=capacity,
+        exchange=exchange,
+    )
+    any_overflow = jax.lax.pmax(overflow.astype(jnp.int32), axis_name)
+    return out[0], out[1], out[2], count[None], any_overflow[None]
 
 
 def distributed_radix_sort(
@@ -313,17 +396,23 @@ def distributed_radix_sort(
         )
         return fn(keys, values)
 
+    out = _run_attempts(attempt, capacity_factor, max_retries, num_devices)
+    if descending:
+        out = (~out[0], out[1], out[2], out[3])
+    return out
+
+
+def _run_attempts(attempt, capacity_factor: float, max_retries: int, num_devices: int):
+    """Lossless overflow retry loop: double capacity until the exchange fits
+    (overflow is the last output). Ceiling: capacity D*local_n/D = local_n
+    per (src,dst) block can hold ANY distribution, so doubling terminates."""
     cf = capacity_factor
     out = attempt(cf)
     for _ in range(max_retries):
-        if not np.any(np.asarray(out[3])):
+        if not np.any(np.asarray(out[-1])):
             break
-        # ceiling: capacity D*local_n/D = local_n per (src,dst) block can
-        # hold ANY distribution, so doubling always terminates
         cf = min(cf * 2.0, float(num_devices))
         out = attempt(cf)
-    if descending:
-        out = (~out[0], out[1], out[2], out[3])
     return out
 
 
@@ -351,3 +440,96 @@ def distributed_radix_sort_f32(
         _f32_to_sortable_u32(keys), values, mesh, descending=descending, **kwargs
     )
     return (_sortable_u32_to_f32(out[0]), out[1], out[2], out[3])
+
+
+def distributed_radix_sort_u64_parts(
+    keys_hi: jax.Array,
+    keys_lo: jax.Array,
+    values: jax.Array,
+    mesh: jax.sharding.Mesh,
+    *,
+    axis_name: str = "shards",
+    capacity_factor: float = 2.0,
+    num_samples: int = 256,
+    backend: str | None = None,
+    exchange: str = "padded",
+    max_retries: int = 3,
+    descending: bool = False,
+):
+    """Globally sort sharded 64-bit keys given as (hi, lo) u32 halves, with
+    u32 values, across `mesh` — the distributed form of the single-chip
+    radix_sort_u64_parts (multi-word keys; beyond the reference's u32-only
+    contract, README.md:88-89).
+
+    Same pipeline as distributed_radix_sort with (hi, lo, value) payloads:
+    splitters and buckets use lexicographic (hi, lo, global index) order, the
+    bucket partition runs one stable partial sort per payload, and the local
+    sort is the chained 32-bit LSD composition. Returns
+    (hi, lo, values, counts, overflow); pad slots hold hi = lo = 0xFFFFFFFF
+    (0x00000000 when descending).
+    """
+    num_devices = mesh.shape[axis_name]
+    for name, a in (("keys_hi", keys_hi), ("keys_lo", keys_lo), ("values", values)):
+        check_argument(a.ndim == 1, "%s must be 1-D", name)
+        check_argument(a.dtype == jnp.uint32, "%s must be uint32, got %s", name, a.dtype)
+    check_argument(
+        keys_hi.shape == keys_lo.shape == values.shape, "keys/values length mismatch"
+    )
+    check_argument(
+        keys_hi.shape[0] % num_devices == 0,
+        "global length %d not divisible by %d devices",
+        keys_hi.shape[0],
+        num_devices,
+    )
+    local_n = keys_hi.shape[0] // num_devices
+    spec = jax.sharding.PartitionSpec(axis_name)
+    if descending:
+        keys_hi, keys_lo = ~keys_hi, ~keys_lo  # complementing both words reverses u64 order
+
+    def attempt(cf: float):
+        capacity = int(np.ceil(cf * local_n / num_devices))
+        body = partial(
+            _dist_sort_shard64,
+            axis_name=axis_name,
+            num_devices=num_devices,
+            capacity=capacity,
+            num_samples=min(num_samples, local_n),
+            backend=backend,
+            exchange=exchange,
+        )
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(spec, spec, spec),
+                out_specs=(spec, spec, spec, spec, spec),
+                check_vma=False,
+            )
+        )
+        return fn(keys_hi, keys_lo, values)
+
+    out = _run_attempts(attempt, capacity_factor, max_retries, num_devices)
+    if descending:
+        out = (~out[0], ~out[1], out[2], out[3], out[4])
+    return out
+
+
+def distributed_radix_sort_u64(
+    keys: jax.Array,
+    values: jax.Array,
+    mesh: jax.sharding.Mesh,
+    **kwargs,
+):
+    """Globally sort sharded (u64 key, u32 value) pairs across `mesh` via
+    distributed_radix_sort_u64_parts. Requires jax_enable_x64 for the uint64
+    dtype; use the _parts form in 32-bit mode. Returns
+    (keys, values, counts, overflow)."""
+    check_argument(keys.ndim == 1, "keys must be 1-D")
+    check_argument(keys.dtype == jnp.uint64, "keys must be uint64, got %s", keys.dtype)
+    hi = (keys >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = (keys & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    oh, ol, ov, counts, overflow = distributed_radix_sort_u64_parts(
+        hi, lo, values, mesh, **kwargs
+    )
+    out_k = (oh.astype(jnp.uint64) << jnp.uint64(32)) | ol.astype(jnp.uint64)
+    return out_k, ov, counts, overflow
