@@ -70,6 +70,40 @@ def main():
             flush=True,
         )
 
+    # 3b. ragged exchange on the real device (d=1): first-ever TPU lowering
+    # + execution of the ragged_all_to_all path
+    ro = distributed_radix_sort(
+        jnp.asarray(dk[: 1 << 20]), jnp.asarray(dv[: 1 << 20]), mesh, exchange="ragged"
+    )
+    rgot = np.asarray(ro[0])[: int(np.asarray(ro[2])[0])]
+    assert (rgot == np.sort(dk[: 1 << 20])).all()
+    print(json.dumps({"check": "dist_ragged_d1_1M", "ok": True}), flush=True)
+
+    # 3c. u64 + segmented single-chip timing (both use jnp.take gathers —
+    # verify the gather is not pathological on TPU)
+    hi = rng.integers(0, 1 << 32, n, dtype=np.uint32)
+    from glu_tpu import radix_sort_u64_parts, radix_sort_segmented
+
+    hj = jnp.asarray(hi)
+    radix_sort_u64_parts(hj, kj, vj)  # warm
+    t0 = time.perf_counter()
+    r = radix_sort_u64_parts(hj, kj, vj)
+    np.asarray(r[0][:1])
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps({"check": "time_u64_16M", "elapsed_s": round(dt, 4), "mkeys_s": round(n / dt / 1e6, 1)}),
+        flush=True,
+    )
+    radix_sort_segmented(kj, vj, 16)  # warm
+    t0 = time.perf_counter()
+    r = radix_sort_segmented(kj, vj, 16)
+    np.asarray(r[0][:1])
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps({"check": "time_seg16_16M", "elapsed_s": round(dt, 4), "mkeys_s": round(n / dt / 1e6, 1)}),
+        flush=True,
+    )
+
     # 4. f32 + descending dist variants (small)
     fk = rng.standard_normal(1 << 16).astype(np.float32)
     fv = np.arange(fk.size, dtype=np.uint32)

@@ -257,6 +257,31 @@ def test_dist_sort_u64_pallas_backend(seeded_rng, monkeypatch):
     np.testing.assert_array_equal(gv, order.astype(np.uint32))
 
 
+def test_dist_sort_ragged_on_tpu(seeded_rng):
+    # the ragged exchange lowers only on TPU meshes (XLA:CPU lacks
+    # ragged_all_to_all); this executes it whenever the suite runs against
+    # real hardware (GLU_TPU_TEST_PLATFORM=tpu) and skips on the CPU mesh
+    if jax.devices()[0].platform == "cpu":
+        pytest.skip("ragged_all_to_all is not implemented by XLA:CPU")
+    ndev = len(jax.devices())
+    mesh = make_sort_mesh(jax.devices())
+    rng = seeded_rng(13)
+    keys = rng.sample_int_vector(ndev * 4096, 0, 0xFFFFFFFE)
+    vals = np.arange(keys.size, dtype=np.uint32)
+    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("shards"))
+    out_k, out_v, counts, overflow = distributed_radix_sort(
+        jax.device_put(jnp.asarray(keys), sh),
+        jax.device_put(jnp.asarray(vals), sh),
+        mesh,
+        exchange="ragged",
+    )
+    assert int(np.asarray(overflow)[0]) == 0
+    gk, gv = _global_result(out_k, out_v, np.asarray(counts), ndev)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(gk, keys[order])
+    np.testing.assert_array_equal(gv, order.astype(np.uint32))
+
+
 def test_dist_sort_rejects_bad_dtypes():
     mesh = make_sort_mesh(jax.devices()[:2])
     k = jnp.arange(16, dtype=jnp.int32)
