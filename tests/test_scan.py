@@ -133,6 +133,17 @@ def test_scan_ops_partitions(op, num_partitions, backend, seeded_rng):
     np.testing.assert_array_equal(got, _oracle_op(data, op, num_partitions))
 
 
+@pytest.mark.parametrize("op", [ReduceOperator.MIN, ReduceOperator.SUM])
+def test_scan_partitions_multiblock(op, backend, seeded_rng):
+    # partition length 131072 = exactly 2 x 512-row blocks: the carry must
+    # chain across blocks WITHIN a partition and reset at the boundary
+    part = 512 * 128 * 2
+    rng = seeded_rng(42 + op.value)
+    data = rng.sample_int_vector(part * 2, 0, 0xFFFFFFFF)
+    got = np.asarray(exclusive_scan(jnp.asarray(data), 2, op, backend=backend))
+    np.testing.assert_array_equal(got, _oracle_op(data, op, 2))
+
+
 @pytest.mark.parametrize("op", [ReduceOperator.MIN, ReduceOperator.MAX])
 def test_scan_ops_int32_negatives(op, backend):
     data = np.array([3, -1, 4, -1, 5, -9, 2, 6, -2147483648, 2147483647] * 200, dtype=np.int32)
