@@ -122,4 +122,70 @@ int glu_oracle_is_sorted(const uint32_t* in, uint64_t n) {
     return 1;
 }
 
+// Exclusive prefix scan under op (0=sum, 1=mul, 2=min, 3=max) over adjacent
+// equal-length partitions — oracle for the scan's operator generalization
+// (the reference hardcodes `+`, glu/BlellochScan.hpp:99-100); u32 sums and
+// products wrap mod 2^32.
+void glu_oracle_exclusive_scan_op(const uint32_t* in, uint32_t* out,
+                                  uint64_t count, uint64_t num_partitions,
+                                  int op) {
+    const uint64_t part = count / num_partitions;
+    const uint32_t ident =
+        op == 0 ? 0u : op == 1 ? 1u : op == 2 ? 0xFFFFFFFFu : 0u;
+    for (uint64_t p = 0; p < num_partitions; ++p) {
+        uint32_t acc = ident;
+        const uint64_t base = p * part;
+        for (uint64_t i = 0; i < part; ++i) {
+            const uint32_t x = in[base + i];
+            out[base + i] = acc;
+            switch (op) {
+                case 0: acc += x; break;
+                case 1: acc *= x; break;
+                case 2: acc = x < acc ? x : acc; break;
+                default: acc = x > acc ? x : acc; break;
+            }
+        }
+    }
+}
+
+// Stable sort by 64-bit keys given as (hi, lo) u32 halves with u32 values —
+// oracle for the multi-word-key extension (radix_sort_u64_parts). 8-bit LSD
+// over lo then hi (8 passes total), three payload streams.
+void glu_oracle_radix_sort_u64(uint32_t* hi, uint32_t* lo, uint32_t* vals,
+                               uint64_t n) {
+    if (n <= 1) return;
+    std::vector<uint32_t> hbuf(n), lbuf(n), vbuf(n);
+    uint32_t* hs[2] = {hi, hbuf.data()};
+    uint32_t* ls[2] = {lo, lbuf.data()};
+    uint32_t* vs[2] = {vals, vbuf.data()};
+    uint64_t hist[256];
+    for (int pass = 0; pass < 8; ++pass) {
+        const int shift = (pass & 3) * 8;
+        const int word_hi = pass >= 4;  // low word first: LSD composition
+        uint32_t* hsrc = hs[pass & 1];
+        uint32_t* lsrc = ls[pass & 1];
+        uint32_t* vsrc = vs[pass & 1];
+        uint32_t* hdst = hs[(pass + 1) & 1];
+        uint32_t* ldst = ls[(pass + 1) & 1];
+        uint32_t* vdst = vs[(pass + 1) & 1];
+        std::memset(hist, 0, sizeof(hist));
+        for (uint64_t i = 0; i < n; ++i)
+            hist[((word_hi ? hsrc[i] : lsrc[i]) >> shift) & 0xFF]++;
+        uint64_t sum = 0;
+        for (int d = 0; d < 256; ++d) {
+            uint64_t c = hist[d];
+            hist[d] = sum;
+            sum += c;
+        }
+        for (uint64_t i = 0; i < n; ++i) {
+            const uint64_t pos =
+                hist[((word_hi ? hsrc[i] : lsrc[i]) >> shift) & 0xFF]++;
+            hdst[pos] = hsrc[i];
+            ldst[pos] = lsrc[i];
+            vdst[pos] = vsrc[i];
+        }
+    }
+    // 8 passes is even: result is back in the caller's buffers.
+}
+
 }  // extern "C"

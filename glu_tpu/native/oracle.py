@@ -55,6 +55,10 @@ def _load():
     lib.glu_oracle_reduce_u32.restype = ctypes.c_uint32
     lib.glu_oracle_is_sorted.argtypes = [u32p, ctypes.c_uint64]
     lib.glu_oracle_is_sorted.restype = ctypes.c_int
+    lib.glu_oracle_exclusive_scan_op.argtypes = [
+        u32p, u32p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
+    ]
+    lib.glu_oracle_radix_sort_u64.argtypes = [u32p, u32p, u32p, ctypes.c_uint64]
     _lib = lib
     return lib
 
@@ -112,6 +116,43 @@ class NativeOracle:
         if self.lib is not None:
             return bool(self.lib.glu_oracle_is_sorted(_p(x), x.size))
         return bool(np.all(x[:-1] <= x[1:]))
+
+    def exclusive_scan_op(
+        self, data: np.ndarray, num_partitions: int = 1, op: str = "sum"
+    ) -> np.ndarray:
+        """Exclusive prefix scan under sum/mul/min/max (the scan's operator
+        generalization; the reference hardcodes `+`)."""
+        x = np.ascontiguousarray(data, dtype=np.uint32)
+        ops = {"sum": 0, "mul": 1, "min": 2, "max": 3}
+        if self.lib is not None:
+            out = np.empty_like(x)
+            self.lib.glu_oracle_exclusive_scan_op(
+                _p(x), _p(out), x.size, num_partitions, ops[op]
+            )
+            return out
+        ufuncs = {"sum": np.add, "mul": np.multiply, "min": np.minimum, "max": np.maximum}
+        idents = {"sum": 0, "mul": 1, "min": 0xFFFFFFFF, "max": 0}
+        seg = x.reshape(num_partitions, x.size // num_partitions)
+        inc = ufuncs[op].accumulate(seg, axis=1).astype(np.uint32)
+        first = np.full((num_partitions, 1), idents[op], np.uint32)
+        return np.concatenate([first, inc[:, :-1]], axis=1).reshape(x.size)
+
+    def radix_sort_u64_parts(self, hi: np.ndarray, lo: np.ndarray, vals: np.ndarray):
+        """Stable sort by 64-bit (hi, lo) keys with u32 values. Returns new
+        arrays (hi, lo, vals)."""
+        h = np.ascontiguousarray(hi, dtype=np.uint32).copy()
+        l = np.ascontiguousarray(lo, dtype=np.uint32).copy()
+        v = np.ascontiguousarray(vals, dtype=np.uint32).copy()
+        if self.lib is not None:
+            self.lib.glu_oracle_radix_sort_u64(_p(h), _p(l), _p(v), h.size)
+            return h, l, v
+        k64 = (hi.astype(np.uint64) << 32) | lo.astype(np.uint64)
+        order = np.argsort(k64, kind="stable")
+        return (
+            hi[order].astype(np.uint32),
+            lo[order].astype(np.uint32),
+            vals[order].astype(np.uint32),
+        )
 
 
 _singleton: NativeOracle | None = None

@@ -68,6 +68,37 @@ def test_oracle_reduce(oracle, seeded_rng):
     assert oracle.reduce_u32(small, "mul") == np.uint32(np.prod(small, dtype=np.uint32))
 
 
+@pytest.mark.parametrize("op", ["sum", "mul", "min", "max"])
+def test_oracle_scan_op(oracle, op, seeded_rng):
+    rng = seeded_rng(6)
+    x = rng.sample_int_vector(8192, 0, 0xFFFFFFFE)
+    if op == "mul":
+        x = (x | 1).astype(np.uint32)
+    got = oracle.exclusive_scan_op(x, num_partitions=4, op=op)
+    ufuncs = {"sum": np.add, "mul": np.multiply, "min": np.minimum, "max": np.maximum}
+    idents = {"sum": 0, "mul": 1, "min": 0xFFFFFFFF, "max": 0}
+    seg = x.reshape(4, 2048)
+    inc = ufuncs[op].accumulate(seg, axis=1).astype(np.uint32)
+    first = np.full((4, 1), idents[op], np.uint32)
+    np.testing.assert_array_equal(
+        got, np.concatenate([first, inc[:, :-1]], axis=1).reshape(-1)
+    )
+
+
+def test_oracle_sort_u64(oracle, seeded_rng):
+    rng = seeded_rng(7)
+    n = 50_000
+    hi = rng.sample_int_vector(n, 0, 7)  # few hi values: lo must break ties
+    lo = rng.sample_int_vector(n, 0, 0xFFFFFFFE)
+    v = np.arange(n, dtype=np.uint32)
+    oh, ol, ov = oracle.radix_sort_u64_parts(hi, lo, v)
+    k64 = (hi.astype(np.uint64) << 32) | lo.astype(np.uint64)
+    order = np.argsort(k64, kind="stable")
+    np.testing.assert_array_equal(oh, hi[order])
+    np.testing.assert_array_equal(ol, lo[order])
+    np.testing.assert_array_equal(ov, order.astype(np.uint32))
+
+
 def test_oracle_is_sorted(oracle):
     assert oracle.is_sorted(np.arange(100, dtype=np.uint32))
     assert not oracle.is_sorted(np.array([3, 1, 2], dtype=np.uint32))
