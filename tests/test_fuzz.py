@@ -1,0 +1,81 @@
+"""Seeded randomized engine-vs-oracle fuzz.
+
+The fixed-size suites mirror the reference's tests; this adds breadth:
+random lengths (including awkward paddings near tile/block boundaries),
+random key distributions, random partial num_steps, random partition
+counts — every case checked against the native C++ oracle (itself
+verified in test_native_oracle.py). Seeds are fixed, so failures are
+reproducible by trial number.
+"""
+
+import numpy as np
+import pytest
+
+from glu_tpu import (
+    ReduceOperator,
+    exclusive_scan,
+    radix_sort,
+    reduce,
+)
+from glu_tpu.native import get_oracle
+
+import jax.numpy as jnp
+
+_OPS = ["sum", "mul", "min", "max"]
+_ENUM = {
+    "sum": ReduceOperator.SUM,
+    "mul": ReduceOperator.MUL,
+    "min": ReduceOperator.MIN,
+    "max": ReduceOperator.MAX,
+}
+
+
+def _keys(rng, n):
+    """Random keys from a randomly chosen distribution."""
+    kind = rng.integers(0, 5)
+    if kind == 0:
+        return rng.integers(0, 1 << 32, n, dtype=np.uint32)
+    if kind == 1:  # low entropy
+        return rng.integers(0, max(int(rng.integers(1, 8)), 1), n, dtype=np.uint32)
+    if kind == 2:  # pre-sorted
+        return np.sort(rng.integers(0, 1 << 32, n, dtype=np.uint32))
+    if kind == 3:  # reverse-sorted
+        return np.sort(rng.integers(0, 1 << 32, n, dtype=np.uint32))[::-1].copy()
+    return np.full(n, rng.integers(0, 1 << 32), dtype=np.uint32)  # constant
+
+
+@pytest.mark.parametrize("trial", range(12))
+def test_fuzz_sort(trial, backend):
+    rng = np.random.default_rng(1000 + trial)
+    n = int(rng.integers(1, 8193))
+    steps = int(rng.integers(1, 9))
+    k = _keys(rng, n)
+    v = np.arange(n, dtype=np.uint32)
+    gk, gv = radix_sort(jnp.asarray(k), jnp.asarray(v), num_steps=steps, backend=backend)
+    ek, ev = get_oracle().radix_sort_kv(k, v, num_steps=steps)
+    np.testing.assert_array_equal(np.asarray(gk), ek)
+    np.testing.assert_array_equal(np.asarray(gv), ev)
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_scan(trial, backend):
+    rng = np.random.default_rng(2000 + trial)
+    parts = int(rng.choice([1, 1, 2, 3, 8, 17]))
+    part_len = int(rng.integers(1, 4097))
+    n = parts * part_len
+    op = _OPS[int(rng.integers(0, 4))]
+    x = rng.integers(0, 1 << 32, n, dtype=np.uint32)
+    got = np.asarray(exclusive_scan(jnp.asarray(x), parts, _ENUM[op], backend=backend))
+    exp = get_oracle().exclusive_scan_op(x, parts, op)
+    np.testing.assert_array_equal(got, exp)
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_reduce(trial, backend):
+    rng = np.random.default_rng(3000 + trial)
+    n = int(rng.integers(1, 100_001))
+    op = _OPS[int(rng.integers(0, 4))]
+    x = rng.integers(0, 1 << 32, n, dtype=np.uint32)
+    got = np.asarray(reduce(jnp.asarray(x), _ENUM[op], backend=backend))
+    exp = get_oracle().reduce_u32(x, op)
+    assert got == exp, (n, op)
