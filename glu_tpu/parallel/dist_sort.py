@@ -29,6 +29,11 @@ end-to-end under the lexicographic (key, global index) splitter order.
 
 Result: device d holds keys in [splitter_{d-1}, splitter_d), sorted, in the
 first `count` slots of its padded shard (pads at the tail hold 0xFFFFFFFF).
+
+Every stage operates on a LIST of u32 payload arrays permuted identically,
+so one pipeline serves u32 keys (keys, values), f32 keys (bijected u32),
+and 64-bit keys ((hi, lo, values) with lexicographic splitters and chained
+32-bit local sorts); descending order is complemented keys throughout.
 """
 
 from __future__ import annotations
