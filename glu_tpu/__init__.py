@@ -35,6 +35,7 @@ from .ops.radix_sort import (
     RadixSort,
     radix_sort,
     radix_sort_f32,
+    radix_sort_i32,
     radix_sort_keys,
     radix_sort_segmented,
     radix_sort_u64,
@@ -71,6 +72,7 @@ __all__ = [
     "RadixSort",
     "radix_sort",
     "radix_sort_f32",
+    "radix_sort_i32",
     "radix_sort_keys",
     "radix_sort_segmented",
     "radix_sort_u64",

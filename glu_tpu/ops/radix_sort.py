@@ -299,6 +299,44 @@ def radix_sort_f32(
     return _sortable_u32_to_f32(ku), out_v
 
 
+def radix_sort_i32(
+    keys: jax.Array,
+    values: jax.Array,
+    *,
+    backend: str | None = None,
+    descending: bool = False,
+):
+    """Stably sort (i32 key, u32 value) pairs — an extension beyond the
+    reference, which supports u32 keys only (reference README.md:88-89).
+
+    Signed order rides the u32 engine through the standard sign-bit flip
+    (an order-preserving bijection i32 -> u32: INT32_MIN maps to 0,
+    INT32_MAX to UINT32_MAX).
+    """
+    check_argument(keys.ndim == 1 and values.ndim == 1, "keys/values must be 1-D")
+    check_argument(keys.shape == values.shape, "keys/values length mismatch")
+    check_argument(keys.dtype == jnp.int32, "keys must be int32, got %s", keys.dtype)
+    check_argument(values.dtype == jnp.uint32, "values must be uint32, got %s", values.dtype)
+    if keys.shape[0] <= 1:
+        return keys, values
+    ku = _i32_to_sortable_u32(keys)
+    if descending:
+        ku = ~ku
+    ku, out_v = _radix_sort_kv(ku, values, NUM_PASSES, resolve_backend(backend))
+    if descending:
+        ku = ~ku
+    return _sortable_u32_to_i32(ku), out_v
+
+
+def _i32_to_sortable_u32(x: jax.Array) -> jax.Array:
+    """Order-preserving bijection i32 -> u32 (sign-bit flip)."""
+    return jax.lax.bitcast_convert_type(x, jnp.uint32) ^ jnp.uint32(0x80000000)
+
+
+def _sortable_u32_to_i32(u: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(u ^ jnp.uint32(0x80000000), jnp.int32)
+
+
 class RadixSort:
     """Radix sort operator object (reference glu/RadixSort.hpp:186-354).
 

@@ -17,6 +17,7 @@ from .dist_primitives import (
 from .dist_sort import (
     distributed_radix_sort,
     distributed_radix_sort_f32,
+    distributed_radix_sort_i32,
     distributed_radix_sort_u64,
     distributed_radix_sort_u64_parts,
     make_sort_mesh,

@@ -447,6 +447,31 @@ def distributed_radix_sort_f32(
     return (_sortable_u32_to_f32(out[0]), out[1], out[2], out[3])
 
 
+def distributed_radix_sort_i32(
+    keys: jax.Array,
+    values: jax.Array,
+    mesh: jax.sharding.Mesh,
+    *,
+    descending: bool = False,
+    **kwargs,
+):
+    """Globally sort sharded i32 (key, value) pairs across `mesh`, via the
+    same order-preserving sign-bit flip as the single-chip radix_sort_i32.
+    The bijection is monotonic, so splitter sampling, bucket ranges, and the
+    per-device output ranges all carry over unchanged.
+
+    Same contract as distributed_radix_sort, except keys are int32 and pad
+    slots (positions >= counts[d]) decode to INT32_MAX.
+    """
+    check_argument(keys.dtype == jnp.int32, "keys must be int32, got %s", keys.dtype)
+    from ..ops.radix_sort import _i32_to_sortable_u32, _sortable_u32_to_i32
+
+    out = distributed_radix_sort(
+        _i32_to_sortable_u32(keys), values, mesh, descending=descending, **kwargs
+    )
+    return (_sortable_u32_to_i32(out[0]), out[1], out[2], out[3])
+
+
 def distributed_radix_sort_u64_parts(
     keys_hi: jax.Array,
     keys_lo: jax.Array,

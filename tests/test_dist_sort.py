@@ -15,6 +15,7 @@ import pytest
 from glu_tpu.parallel import (
     distributed_radix_sort,
     distributed_radix_sort_f32,
+    distributed_radix_sort_i32,
     distributed_radix_sort_u64,
     distributed_radix_sort_u64_parts,
     make_sort_mesh,
@@ -145,6 +146,30 @@ def test_dist_sort_descending(seeded_rng):
     assert int(np.asarray(overflow)[0]) == 0
     gk, gv = _global_result(out_k, out_v, np.asarray(counts), 8)
     order = np.argsort(~keys, kind="stable")  # descending, ties in input order
+    np.testing.assert_array_equal(gk, keys[order])
+    np.testing.assert_array_equal(gv, order.astype(np.uint32))
+
+
+def test_dist_sort_i32(seeded_rng):
+    # signed i32 keys via the order-preserving sign-bit flip; stable on ties
+    mesh = make_sort_mesh(jax.devices()[:8])
+    rng = seeded_rng(23)
+    keys = (rng.sample_int_vector(8 * 1024, 0, 2_000_000).astype(np.int64) - 1_000_000).astype(
+        np.int32
+    )
+    keys[:3] = [-(1 << 31), (1 << 31) - 1, 0]
+    vals = np.arange(keys.size, dtype=np.uint32)
+    spec = jax.sharding.PartitionSpec("shards")
+    sharding = jax.sharding.NamedSharding(mesh, spec)
+    out_k, out_v, counts, overflow = distributed_radix_sort_i32(
+        jax.device_put(jnp.asarray(keys), sharding),
+        jax.device_put(jnp.asarray(vals), sharding),
+        mesh,
+        backend="xla",
+    )
+    assert int(np.asarray(overflow)[0]) == 0
+    gk, gv = _global_result(out_k, out_v, np.asarray(counts), 8)
+    order = np.argsort(keys, kind="stable")
     np.testing.assert_array_equal(gk, keys[order])
     np.testing.assert_array_equal(gv, order.astype(np.uint32))
 

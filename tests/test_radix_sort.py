@@ -180,6 +180,38 @@ def test_sort_f32_keys(backend, seeded_rng):
     np.testing.assert_array_equal(out_v, order.astype(np.uint32))
 
 
+def test_sort_i32_keys(backend, seeded_rng):
+    # beyond-reference extension: signed i32 keys via the order-preserving
+    # sign-bit flip (INT32_MIN .. INT32_MAX in signed order)
+    from glu_tpu import radix_sort_i32
+
+    rng = seeded_rng(55)
+    keys = np.concatenate([
+        rng.rng.integers(-(1 << 31), 1 << 31, 4000).astype(np.int32),
+        np.array([0, -1, 1, -(1 << 31), (1 << 31) - 1], dtype=np.int32),
+    ])
+    keys[::11] = keys[1]  # duplicates (stability must break ties by index)
+    vals = np.arange(keys.size, dtype=np.uint32)
+    out_k, out_v = radix_sort_i32(jnp.asarray(keys), jnp.asarray(vals), backend=backend)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(out_k), keys[order])
+    np.testing.assert_array_equal(np.asarray(out_v), order.astype(np.uint32))
+
+
+def test_sort_i32_descending(backend, seeded_rng):
+    from glu_tpu import radix_sort_i32
+
+    rng = seeded_rng(56)
+    keys = rng.rng.integers(-1000, 1000, 3000).astype(np.int32)
+    vals = np.arange(keys.size, dtype=np.uint32)
+    out_k, out_v = radix_sort_i32(
+        jnp.asarray(keys), jnp.asarray(vals), backend=backend, descending=True
+    )
+    order = np.argsort(-keys.astype(np.int64), kind="stable")
+    np.testing.assert_array_equal(np.asarray(out_k), keys[order])
+    np.testing.assert_array_equal(np.asarray(out_v), order.astype(np.uint32))
+
+
 def test_sort_u64_parts(backend, seeded_rng):
     # beyond-reference extension: 64-bit keys as (hi, lo) u32 halves via two
     # chained stable 32-bit sorts (LSD composition)
