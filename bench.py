@@ -143,13 +143,13 @@ def _chain_time(body, init, iters):
     return max((t(gn) - t(g1)) / iters, 1e-9)
 
 
-def _ladder_iters(n, work_target):
+def _ladder_iters(n, work_target, lo=8):
     """Chain iterations for a size-n op so total chained work is comparable
     to `work_target` elements — small sizes need MANY iterations or the
     measured delta drowns in fence jitter (a 4-iteration chain at n=131072
     is ~3.5 ms of work read through a ~30 ms noisy fence: round-1 recorded
     53 M keys/s there while direct timing showed ~150)."""
-    return max(4, min(1024, work_target // max(n, 1)))
+    return max(lo, min(131072, work_target // max(n, 1)))
 
 
 def full_table(backend):
@@ -167,7 +167,7 @@ def full_table(backend):
             x = _rand_u32(n, 2)
             t = _chain_time(
                 lambda s_: s_ + reduce(s_, ReduceOperator.SUM, backend=backend),
-                x, _ladder_iters(n, 2**28),
+                x, _ladder_iters(n, 2**31),
             )
         else:
             t = bench_reduce(n, backend)
@@ -178,7 +178,7 @@ def full_table(backend):
             x = _rand_u32(n, 3)
             t = _chain_time(
                 lambda s_: exclusive_scan(s_, backend=backend),
-                x, _ladder_iters(n, 2**28),
+                x, _ladder_iters(n, 2**31),
             )
         else:
             t = bench_scan(n, backend)
@@ -190,7 +190,7 @@ def full_table(backend):
             v = jnp.arange(n, dtype=jnp.uint32)
             t = _chain_time(
                 lambda kv: tuple(radix_sort(kv[0], kv[1], backend=backend)),
-                (k, v), _ladder_iters(n, 2**24),
+                (k, v), _ladder_iters(n, 2**24, lo=4),
             )
         else:
             t = bench_sort(n, backend)

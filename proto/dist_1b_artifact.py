@@ -15,8 +15,10 @@ Writes one JSON line to stdout; run detached and redirect to a log.
 
 import json
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
 
 import jax
