@@ -38,7 +38,7 @@ and 64-bit keys ((hi, lo, values) with lexicographic splitters and chained
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -381,23 +381,9 @@ def distributed_radix_sort(
 
     def attempt(cf: float):
         capacity = int(np.ceil(cf * local_n / num_devices))
-        body = partial(
-            _dist_sort_shard,
-            axis_name=axis_name,
-            num_devices=num_devices,
-            capacity=capacity,
-            num_samples=min(num_samples, local_n),
-            backend=backend,
-            exchange=exchange,
-        )
-        fn = jax.jit(
-            jax.shard_map(
-                body,
-                mesh=mesh,
-                in_specs=(spec, spec),
-                out_specs=(spec, spec, spec, spec),
-                check_vma=False,
-            )
+        fn = _dist_fn_u32(
+            mesh, axis_name, num_devices, capacity,
+            min(num_samples, local_n), backend, exchange,
         )
         return fn(keys, values)
 
@@ -405,6 +391,61 @@ def distributed_radix_sort(
     if descending:
         out = (~out[0], out[1], out[2], out[3])
     return out
+
+
+@lru_cache(maxsize=128)
+def _dist_fn_u32(mesh, axis_name, num_devices, capacity, num_samples, backend, exchange):
+    """Cached jitted shard_map program for the u32 pipeline. A fresh
+    partial + jax.jit per call has a new function identity, so jit's own
+    cache never hits and EVERY invocation recompiles the whole program —
+    measured ~57 s per 67M d=1 call through the tunnel's remote-compile
+    hop (proto/dist_d1_lab.py: the compiled program itself runs in 0.72 s).
+    Keyed on everything the traced program closes over; jax.jit under the
+    cached identity then reuses the executable across calls and shapes hit
+    its own aval cache."""
+    spec = jax.sharding.PartitionSpec(axis_name)
+    body = partial(
+        _dist_sort_shard,
+        axis_name=axis_name,
+        num_devices=num_devices,
+        capacity=capacity,
+        num_samples=num_samples,
+        backend=backend,
+        exchange=exchange,
+    )
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(spec, spec),
+            out_specs=(spec, spec, spec, spec),
+            check_vma=False,
+        )
+    )
+
+
+@lru_cache(maxsize=128)
+def _dist_fn_u64(mesh, axis_name, num_devices, capacity, num_samples, backend, exchange):
+    """Cached jitted shard_map program for the (hi, lo) 64-bit pipeline."""
+    spec = jax.sharding.PartitionSpec(axis_name)
+    body = partial(
+        _dist_sort_shard64,
+        axis_name=axis_name,
+        num_devices=num_devices,
+        capacity=capacity,
+        num_samples=num_samples,
+        backend=backend,
+        exchange=exchange,
+    )
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=(spec, spec, spec, spec, spec),
+            check_vma=False,
+        )
+    )
 
 
 def _run_attempts(attempt, capacity_factor: float, max_retries: int, num_devices: int):
@@ -518,23 +559,9 @@ def distributed_radix_sort_u64_parts(
 
     def attempt(cf: float):
         capacity = int(np.ceil(cf * local_n / num_devices))
-        body = partial(
-            _dist_sort_shard64,
-            axis_name=axis_name,
-            num_devices=num_devices,
-            capacity=capacity,
-            num_samples=min(num_samples, local_n),
-            backend=backend,
-            exchange=exchange,
-        )
-        fn = jax.jit(
-            jax.shard_map(
-                body,
-                mesh=mesh,
-                in_specs=(spec, spec, spec),
-                out_specs=(spec, spec, spec, spec, spec),
-                check_vma=False,
-            )
+        fn = _dist_fn_u64(
+            mesh, axis_name, num_devices, capacity,
+            min(num_samples, local_n), backend, exchange,
         )
         return fn(keys_hi, keys_lo, values)
 

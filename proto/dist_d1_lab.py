@@ -86,7 +86,11 @@ def main():
         return ok[: n // D], ov[: n // D]
 
     print(f"n={n} D={D} capacity={capacity}", flush=True)
-    t = timeit(jax.jit(lambda k, v: radix_sort(k, v)), keys, vals)
+    # plain-sort baseline on UNSHARDED arrays (explicitly-sharded inputs
+    # trip sharding-typed select inside the pallas host code)
+    ku = jnp.asarray(rng.integers(0, 1 << 32, n, dtype=np.uint32))
+    vu = jnp.arange(n, dtype=jnp.uint32)
+    t = timeit(jax.jit(lambda k, v: radix_sort(k, v)), ku, vu)
     print(f"plain sort       : {t*1e3:9.1f} ms  {n/t/1e6:8.1f} M keys/s", flush=True)
     for name, body in [("sample", body_sample), ("bucket", body_bucket),
                        ("spread", body_spread), ("full", body_full)]:
