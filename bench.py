@@ -22,7 +22,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-from glu_tpu import ReduceOperator, exclusive_scan, radix_sort, reduce
+from glu_tpu import ReduceOperator, exclusive_scan, radix_sort, radix_sort_keys, reduce
 from glu_tpu.ops.backend import resolve_backend
 
 BASELINE_SORT_268M_KEYS_PER_S = 53.5e6  # reference README.md:133 (268M pairs / 5.022 s)
@@ -94,6 +94,26 @@ def bench_sort(n, backend, reps=3):
         _sync(v)
         t0 = time.perf_counter()
         _sync(run(k, v))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - _fence_floor(), 1e-9)
+
+
+def bench_sort_keys(n, backend, reps=3):
+    """Keys-only sort (no value payload — beyond the reference's mandatory
+    key+value contract, README.md:88-89): the engine routes half the words
+    per split, so this is the op's speed-of-light configuration."""
+    keys = _rand_u32(n, 1)
+
+    def run(k):
+        return radix_sort_keys(k, backend=backend)
+
+    _sync(run(jnp.copy(keys)))  # warm-up/compile
+    best = float("inf")
+    for _ in range(reps):
+        k = jnp.copy(keys)  # fresh donatable buffer
+        _sync(k)
+        t0 = time.perf_counter()
+        _sync(run(k))
         best = min(best, time.perf_counter() - t0)
     return max(best - _fence_floor(), 1e-9)
 
@@ -329,6 +349,8 @@ def main():
     ap.add_argument("--exchange", default="padded", choices=["padded", "ragged"],
                     help="bucket exchange implementation for --dist (ragged = "
                          "jax.lax.ragged_all_to_all; compiles on TPU meshes only)")
+    ap.add_argument("--keys-only", action="store_true",
+                    help="benchmark radix_sort_keys (no value payload)")
     ap.add_argument("--check", action="store_true",
                     help="run the BASELINE config battery (uniform/presorted/reverse/lowentropy) with on-device verification")
     ap.add_argument("--reps", type=int, default=3)
@@ -358,6 +380,21 @@ def main():
         return
     if args.check:
         run_checks(args.n, backend)
+        return
+
+    if args.keys_only:
+        n = args.n
+        elapsed = bench_sort_keys(n, backend, reps=args.reps)
+        print(
+            json.dumps(
+                {
+                    "metric": f"radix_sort_keysonly_keys_per_sec_n{n}",
+                    "value": round(n / elapsed, 1),
+                    "unit": "keys/s",
+                    "vs_baseline": round(n / elapsed / BASELINE_SORT_268M_KEYS_PER_S, 3),
+                }
+            )
+        )
         return
 
     n = args.n

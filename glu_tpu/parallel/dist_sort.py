@@ -191,21 +191,30 @@ def _spread_to_padded(arrays, fills, counts, offsets, num_devices: int, capacity
     return padded, sent, overflow
 
 
-def _compact_blocks(received, fills, recv_counts, num_devices: int, capacity: int):
-    """(D, capacity) received blocks -> front-compacted [D*capacity] arrays
+def _compact_blocks(received, fills, recv_counts, num_devices: int, total_slots: int):
+    """(D, capacity) received blocks -> front-compacted [total_slots] arrays
     via ascending `lax.dynamic_update_slice` (contiguous DMAs). Block b lands
     at the running count of blocks < b; each write's pad tail is overwritten
     by the next block, and every slot >= total holds the fill value
     (0xFFFFFFFF for key words) — positionally AFTER all real elements, so a
-    stable sort keeps real 0xFFFFFFFF keys ahead of the pads."""
-    total_slots = num_devices * capacity
+    stable sort keeps real 0xFFFFFFFF keys ahead of the pads.
+
+    total_slots may be SMALLER than D*capacity (the receiver-side sort
+    budget). Each write is a FULL capacity-wide block (static shape), so the
+    staging buffer gets `capacity` extra slack slots: whenever the counts fit
+    the budget, roff[b] <= total_slots and every write lands in bounds
+    un-clamped (a clamped start would slide the block over its predecessors).
+    The slack is sliced off before the sort; if the counts exceed the budget
+    the caller's overflow flag discards the attempt, so clamp corruption in
+    that case is harmless."""
+    capacity = received[0].shape[1]
     roff = jnp.cumsum(recv_counts) - recv_counts
     outs = []
     for r, fill in zip(received, fills):
-        out = jnp.full((total_slots,), fill, dtype=jnp.uint32)
+        out = jnp.full((total_slots + capacity,), fill, dtype=jnp.uint32)
         for b in range(num_devices):
             out = jax.lax.dynamic_update_slice(out, r[b], (roff[b],))
-        outs.append(out)
+        outs.append(out[:total_slots])
     return outs, jnp.sum(recv_counts)
 
 
@@ -237,14 +246,20 @@ def _exchange_ragged(arrays, fills, counts, offsets, axis_name, num_devices, rec
 
 
 def _exchange_and_sort(arrays, fills, counts, offsets, local_sort, *,
-                       axis_name, num_devices, capacity, exchange):
+                       axis_name, num_devices, capacity, recv_capacity, exchange):
     """Bucket exchange (padded all_to_all or ragged) + front compaction +
     stable local sort. `arrays` are bucket-contiguous; `local_sort` maps the
     compacted array tuple to the sorted tuple (pads — fill values positioned
     after every real element — must sort as a stable tail). Returns
-    (sorted arrays with canonical fill beyond `count`, count, overflow)."""
+    (sorted arrays with canonical fill beyond `count`, count, overflow).
+
+    `recv_capacity` is the receiver-side sort budget — DECOUPLED from the
+    per-(src,dst) block `capacity`: sampled splitters keep the per-device
+    received total near local_n even when block-level skew (pre-sorted
+    inputs) forces a large block capacity, so the final local sort — the
+    dominant cost — runs at ~1.25x the real data instead of the exchange's
+    worst-case padding (which previously taxed EVERY config ~2x)."""
     if exchange == "ragged":
-        recv_capacity = capacity * num_devices
         received, count, overflow = _exchange_ragged(
             arrays, fills, counts, offsets, axis_name, num_devices, recv_capacity
         )
@@ -253,7 +268,6 @@ def _exchange_and_sort(arrays, fills, counts, offsets, local_sort, *,
         # keys (reals precede pads positionally)
         compacted = received
     else:
-        recv_capacity = capacity * num_devices
         padded, sent, overflow = _spread_to_padded(
             arrays, fills, counts, offsets, num_devices, capacity
         )
@@ -261,8 +275,9 @@ def _exchange_and_sort(arrays, fills, counts, offsets, local_sort, *,
         received = [jax.lax.all_to_all(p, axis_name, 0, 0) for p in padded]
         recv_counts = jax.lax.all_to_all(sent.reshape(num_devices, 1), axis_name, 0, 0)
         compacted, count = _compact_blocks(
-            received, fills, recv_counts.reshape(-1), num_devices, capacity
+            received, fills, recv_counts.reshape(-1), num_devices, recv_capacity
         )
+        overflow = overflow | (count > recv_capacity)
     out = list(local_sort(*compacted))
     pos = jnp.arange(recv_capacity, dtype=jnp.int32)
     # overwrite pad-tail key words with the canonical fill for a clean contract
@@ -273,7 +288,8 @@ def _exchange_and_sort(arrays, fills, counts, offsets, local_sort, *,
 
 
 def _dist_sort_shard(
-    keys, values, *, axis_name, num_devices, capacity, num_samples, backend, exchange
+    keys, values, *, axis_name, num_devices, capacity, recv_capacity,
+    num_samples, backend, exchange
 ):
     """Per-shard body (runs under shard_map; keys/values are the local shard)."""
     sk, si = _sample_splitters(keys, axis_name, num_devices, num_samples)
@@ -290,6 +306,7 @@ def _dist_sort_shard(
         axis_name=axis_name,
         num_devices=num_devices,
         capacity=capacity,
+        recv_capacity=recv_capacity,
         exchange=exchange,
     )
     any_overflow = jax.lax.pmax(overflow.astype(jnp.int32), axis_name)
@@ -297,7 +314,8 @@ def _dist_sort_shard(
 
 
 def _dist_sort_shard64(
-    hi, lo, values, *, axis_name, num_devices, capacity, num_samples, backend, exchange
+    hi, lo, values, *, axis_name, num_devices, capacity, recv_capacity,
+    num_samples, backend, exchange
 ):
     """Per-shard body for 64-bit keys given as (hi, lo) u32 halves."""
     shi, slo, sidx = _sample_splitters64(hi, lo, axis_name, num_devices, num_samples)
@@ -314,10 +332,35 @@ def _dist_sort_shard64(
         axis_name=axis_name,
         num_devices=num_devices,
         capacity=capacity,
+        recv_capacity=recv_capacity,
         exchange=exchange,
     )
     any_overflow = jax.lax.pmax(overflow.astype(jnp.int32), axis_name)
     return out[0], out[1], out[2], count[None], any_overflow[None]
+
+
+def _attempt_capacities(mult, capacity_factor, recv_capacity_factor,
+                        local_n: int, num_devices: int):
+    """(per-block capacity, receiver sort budget) for one attempt at retry
+    multiplier `mult`.
+
+    D == 1 is EXACT: nothing is exchanged, so the single block is the shard
+    itself — no padding, no overflow possible, and the local sort runs at
+    1.0x the data (this is the d=1 composition-overhead fix: the padded
+    budget previously made every d=1 call sort capacity_factor x n).
+
+    For D >= 2: per-block capacity is capacity_factor*local_n/D clamped to
+    local_n (a source holds only local_n elements, so local_n always fits
+    any block); the receiver budget is recv_capacity_factor*local_n clamped
+    to D*local_n (the whole input). Both clamps make the retry doubling
+    terminate at a configuration that fits ANY distribution."""
+    if num_devices == 1:
+        return local_n, local_n
+    cf = min(capacity_factor * mult, float(num_devices))
+    capacity = min(int(np.ceil(cf * local_n / num_devices)), local_n)
+    rf = min(recv_capacity_factor * mult, float(num_devices))
+    recv_capacity = max(int(np.ceil(rf * local_n)), capacity)
+    return capacity, recv_capacity
 
 
 def distributed_radix_sort(
@@ -327,6 +370,7 @@ def distributed_radix_sort(
     *,
     axis_name: str = "shards",
     capacity_factor: float = 2.0,
+    recv_capacity_factor: float = 1.25,
     num_samples: int = 256,
     backend: str | None = None,
     exchange: str = "padded",
@@ -341,9 +385,9 @@ def distributed_radix_sort(
     Returns (keys, values, counts, overflow): keys/values are sharded
     [D * padded] arrays — device d's shard holds the d-th global key range,
     sorted and stable, in its first counts[d] slots; overflow is nonzero only
-    if capacity_factor doubled `max_retries` times still could not hold the
-    key skew (results are then incomplete — the overflowed elements were
-    dropped; pass a larger capacity_factor or max_retries).
+    if the capacity factors doubled `max_retries` times still could not hold
+    the key skew (results are then incomplete — the overflowed elements were
+    dropped; pass larger factors or max_retries).
 
     descending=True sorts high-to-low (device 0 holds the LARGEST keys),
     stable, via complemented keys — same scheme as the single-chip engine
@@ -353,15 +397,22 @@ def distributed_radix_sort(
     exchange: "padded" (dense all_to_all with per-(src,dst) block capacity
     capacity_factor*n_local/D — portable, but range-correlated inputs like
     pre-sorted data concentrate whole shards into single blocks and can need
-    capacity_factor up to D) or "ragged" (jax.lax.ragged_all_to_all with
-    receiver-side capacity capacity_factor*n_local — robust to block-level
-    skew; XLA implements it for TPU, not CPU).
+    capacity_factor up to D) or "ragged" (jax.lax.ragged_all_to_all —
+    robust to block-level skew; XLA implements it for TPU, not CPU).
+
+    recv_capacity_factor bounds the RECEIVER side: each device's final local
+    sort — the dominant cost — runs over recv_capacity_factor*n_local slots
+    (index-tiebroken sampled splitters keep the received total near n_local,
+    so 1.25x is ample headroom; block-level skew is absorbed by the per-block
+    capacity, not the sort length). With one device both factors are ignored
+    and the sort is exact (n_local slots, no exchange).
 
     Overflow handling is LOSSLESS for max_retries > 0: inputs are never
     donated, so when an attempt reports overflow the sort is simply re-run
-    with doubled capacity (a fresh XLA program; the failed attempt's outputs
-    are discarded). The device-side drop only ever reaches the caller on the
-    final attempt. Each retry costs one host round trip for the flag fetch.
+    with both factors doubled (a fresh XLA program; the failed attempt's
+    outputs are discarded). The device-side drop only ever reaches the caller
+    on the final attempt. Each retry costs one host round trip for the flag
+    fetch.
     """
     num_devices = mesh.shape[axis_name]
     check_argument(keys.ndim == 1 and values.ndim == 1, "keys/values must be 1-D")
@@ -379,22 +430,25 @@ def distributed_radix_sort(
     if descending:
         keys = ~keys  # bitwise NOT reverses u32 order; stability is preserved
 
-    def attempt(cf: float):
-        capacity = int(np.ceil(cf * local_n / num_devices))
+    def attempt(mult: float):
+        capacity, recv_capacity = _attempt_capacities(
+            mult, capacity_factor, recv_capacity_factor, local_n, num_devices
+        )
         fn = _dist_fn_u32(
-            mesh, axis_name, num_devices, capacity,
+            mesh, axis_name, num_devices, capacity, recv_capacity,
             min(num_samples, local_n), backend, exchange,
         )
         return fn(keys, values)
 
-    out = _run_attempts(attempt, capacity_factor, max_retries, num_devices)
+    out = _run_attempts(attempt, max_retries)
     if descending:
         out = (~out[0], out[1], out[2], out[3])
     return out
 
 
 @lru_cache(maxsize=128)
-def _dist_fn_u32(mesh, axis_name, num_devices, capacity, num_samples, backend, exchange):
+def _dist_fn_u32(mesh, axis_name, num_devices, capacity, recv_capacity,
+                 num_samples, backend, exchange):
     """Cached jitted shard_map program for the u32 pipeline. A fresh
     partial + jax.jit per call has a new function identity, so jit's own
     cache never hits and EVERY invocation recompiles the whole program —
@@ -409,6 +463,7 @@ def _dist_fn_u32(mesh, axis_name, num_devices, capacity, num_samples, backend, e
         axis_name=axis_name,
         num_devices=num_devices,
         capacity=capacity,
+        recv_capacity=recv_capacity,
         num_samples=num_samples,
         backend=backend,
         exchange=exchange,
@@ -425,7 +480,8 @@ def _dist_fn_u32(mesh, axis_name, num_devices, capacity, num_samples, backend, e
 
 
 @lru_cache(maxsize=128)
-def _dist_fn_u64(mesh, axis_name, num_devices, capacity, num_samples, backend, exchange):
+def _dist_fn_u64(mesh, axis_name, num_devices, capacity, recv_capacity,
+                 num_samples, backend, exchange):
     """Cached jitted shard_map program for the (hi, lo) 64-bit pipeline."""
     spec = jax.sharding.PartitionSpec(axis_name)
     body = partial(
@@ -433,6 +489,7 @@ def _dist_fn_u64(mesh, axis_name, num_devices, capacity, num_samples, backend, e
         axis_name=axis_name,
         num_devices=num_devices,
         capacity=capacity,
+        recv_capacity=recv_capacity,
         num_samples=num_samples,
         backend=backend,
         exchange=exchange,
@@ -448,17 +505,18 @@ def _dist_fn_u64(mesh, axis_name, num_devices, capacity, num_samples, backend, e
     )
 
 
-def _run_attempts(attempt, capacity_factor: float, max_retries: int, num_devices: int):
-    """Lossless overflow retry loop: double capacity until the exchange fits
-    (overflow is the last output). Ceiling: capacity D*local_n/D = local_n
-    per (src,dst) block can hold ANY distribution, so doubling terminates."""
-    cf = capacity_factor
-    out = attempt(cf)
+def _run_attempts(attempt, max_retries: int):
+    """Lossless overflow retry loop: double both capacity factors until the
+    exchange AND the receiver budget fit (overflow is the last output).
+    Ceiling: _attempt_capacities clamps at (local_n per block, D*local_n
+    receiver) which holds ANY distribution, so doubling terminates."""
+    mult = 1.0
+    out = attempt(mult)
     for _ in range(max_retries):
         if not np.any(np.asarray(out[-1])):
             break
-        cf = min(cf * 2.0, float(num_devices))
-        out = attempt(cf)
+        mult *= 2.0
+        out = attempt(mult)
     return out
 
 
@@ -521,6 +579,7 @@ def distributed_radix_sort_u64_parts(
     *,
     axis_name: str = "shards",
     capacity_factor: float = 2.0,
+    recv_capacity_factor: float = 1.25,
     num_samples: int = 256,
     backend: str | None = None,
     exchange: str = "padded",
@@ -557,15 +616,17 @@ def distributed_radix_sort_u64_parts(
     if descending:
         keys_hi, keys_lo = ~keys_hi, ~keys_lo  # complementing both words reverses u64 order
 
-    def attempt(cf: float):
-        capacity = int(np.ceil(cf * local_n / num_devices))
+    def attempt(mult: float):
+        capacity, recv_capacity = _attempt_capacities(
+            mult, capacity_factor, recv_capacity_factor, local_n, num_devices
+        )
         fn = _dist_fn_u64(
-            mesh, axis_name, num_devices, capacity,
+            mesh, axis_name, num_devices, capacity, recv_capacity,
             min(num_samples, local_n), backend, exchange,
         )
         return fn(keys_hi, keys_lo, values)
 
-    out = _run_attempts(attempt, capacity_factor, max_retries, num_devices)
+    out = _run_attempts(attempt, max_retries)
     if descending:
         out = (~out[0], ~out[1], out[2], out[3], out[4])
     return out
