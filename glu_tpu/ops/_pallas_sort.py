@@ -100,9 +100,6 @@ def _col_cumsum_incl(x, rows_n):
     return x
 
 
-_narrow_cumsum_incl = narrow_cumsum_incl  # shared full-width narrow scan
-
-
 def _packed4_inrow_cumsum(z):
     """Inclusive in-row cumsum of an (R,128) 0/1 array, 4 rows at a time:
     rows r, r+R/4, r+R/2, r+3R/4 pack into one u32's byte fields (row sums
@@ -134,7 +131,7 @@ def _split_round(k, v, bit):
     z = 1 - bit
     cumZ = _packed4_inrow_cumsum(z)               # inclusive zeros per row
     c0 = cumZ[:, LANES - 1 : LANES]               # (R,1)
-    Zin = _narrow_cumsum_incl(c0, R)
+    Zin = narrow_cumsum_incl(c0, R)
     Zex = Zin - c0                                # zeros before this row
     n0 = Zin[R - 1, 0]                            # total zeros
     Oex = _rows((R, 1)) * LANES - Zex             # ones before this row

@@ -22,3 +22,15 @@ from .dist_sort import (
     distributed_radix_sort_u64_parts,
     make_sort_mesh,
 )
+
+__all__ = [
+    "distributed_exclusive_scan",
+    "distributed_inclusive_scan",
+    "distributed_reduce",
+    "distributed_radix_sort",
+    "distributed_radix_sort_f32",
+    "distributed_radix_sort_i32",
+    "distributed_radix_sort_u64",
+    "distributed_radix_sort_u64_parts",
+    "make_sort_mesh",
+]

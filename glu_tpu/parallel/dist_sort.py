@@ -220,26 +220,39 @@ def _compact_blocks(received, fills, recv_counts, num_devices: int, total_slots:
 
 def _exchange_ragged(arrays, fills, counts, offsets, axis_name, num_devices, recv_capacity):
     """Bucket exchange via XLA's ragged all-to-all over ICI (TPU pods; not
-    implemented by XLA:CPU). Receiver-side capacity: robust to per-block
-    skew (e.g. pre-sorted inputs where one src->dst block holds a whole
-    shard) at only `capacity_factor` x memory headroom."""
+    implemented by XLA:CPU). No per-(src,dst) block capacity exists in this
+    path, so it is robust to block-level skew (e.g. pre-sorted inputs where
+    one src->dst block holds a whole shard) by construction; the receiver
+    buffer is the `recv_capacity` sort budget (recv_capacity_factor x
+    local_n, decoupled from capacity_factor — see _exchange_and_sort).
+
+    When the received total exceeds recv_capacity the attempt is discarded
+    via the overflow flag — but the transfer still EXECUTES first, so sends
+    are pre-clamped to the receiver buffer (XLA's behavior for out-of-bounds
+    ragged writes is implementation-defined; the clamp keeps the overflowing
+    attempt's writes in bounds the same way _spread_to_padded's slack-slot
+    analysis does for the padded path). Every device computes the clamped
+    plan from the same all-gathered count matrix, so sender and receiver
+    descriptors agree."""
     me = jax.lax.axis_index(axis_name)
     # counts_all[s, d] = elements device s sends to device d (D x D, tiny)
     counts_all = jax.lax.all_gather(counts, axis_name)
-    recv_sizes = counts_all[:, me]  # from each src to me
-    # where my block starts in dst d's buffer: sum over src < me of counts_all[src, d]
-    below = jnp.where(
-        jnp.arange(num_devices, dtype=jnp.int32)[:, None] < me, counts_all, 0
-    )
-    output_offsets = jnp.sum(below, axis=0)
-    total_recv = jnp.sum(recv_sizes)
+    # where s's block starts in d's buffer: sum over src < s of counts_all[src, d]
+    starts_all = jnp.cumsum(counts_all, axis=0) - counts_all      # (D src, D dst)
+    total_recv = jnp.sum(counts_all[:, me])
     overflow = total_recv > recv_capacity
+    # symmetric clamp: block [start, start+count) -> buffer [0, recv_capacity)
+    starts_c = jnp.minimum(starts_all, recv_capacity)
+    counts_c = jnp.minimum(counts_all, recv_capacity - starts_c)
+    output_offsets = starts_c[me]       # my blocks' starts at each destination
+    send_sizes = counts_c[me]
+    recv_sizes = counts_c[:, me]        # from each src into my buffer
     outs = []
     for a, fill in zip(arrays, fills):
         f = jnp.full((recv_capacity,), fill, dtype=jnp.uint32)
         outs.append(
             jax.lax.ragged_all_to_all(
-                a, f, offsets, counts, output_offsets, recv_sizes, axis_name=axis_name
+                a, f, offsets, send_sizes, output_offsets, recv_sizes, axis_name=axis_name
             )
         )
     return outs, total_recv, overflow
@@ -426,7 +439,6 @@ def distributed_radix_sort(
         num_devices,
     )
     local_n = keys.shape[0] // num_devices
-    spec = jax.sharding.PartitionSpec(axis_name)
     if descending:
         keys = ~keys  # bitwise NOT reverses u32 order; stability is preserved
 
@@ -507,15 +519,18 @@ def _dist_fn_u64(mesh, axis_name, num_devices, capacity, recv_capacity,
 
 def _run_attempts(attempt, max_retries: int):
     """Lossless overflow retry loop: double both capacity factors until the
-    exchange AND the receiver budget fit (overflow is the last output).
-    Ceiling: _attempt_capacities clamps at (local_n per block, D*local_n
-    receiver) which holds ANY distribution, so doubling terminates."""
+    exchange AND the receiver budget fit (overflow is the last output). The
+    FINAL allowed retry jumps straight to the guaranteed-fit clamp
+    (_attempt_capacities caps at local_n per block, D*local_n receiver —
+    enough for ANY distribution), so any max_retries >= 1 terminates with a
+    complete result even when log2-doubling from the starting factors could
+    not reach the clamp (e.g. recv_capacity_factor=1.25 on a D >= 16 mesh)."""
     mult = 1.0
     out = attempt(mult)
-    for _ in range(max_retries):
+    for i in range(max_retries):
         if not np.any(np.asarray(out[-1])):
             break
-        mult *= 2.0
+        mult = float("inf") if i == max_retries - 1 else mult * 2.0
         out = attempt(mult)
     return out
 
@@ -612,7 +627,6 @@ def distributed_radix_sort_u64_parts(
         num_devices,
     )
     local_n = keys_hi.shape[0] // num_devices
-    spec = jax.sharding.PartitionSpec(axis_name)
     if descending:
         keys_hi, keys_lo = ~keys_hi, ~keys_lo  # complementing both words reverses u64 order
 

@@ -71,7 +71,7 @@ def split_round_v1(k, v, bit):
     z = 1 - bit
     cumZ = mxu_inrow_cumsum(z)
     c0 = cumZ[:, LANES - 1 : LANES]
-    Zin = ps._narrow_cumsum_incl(c0, R)
+    Zin = ps.narrow_cumsum_incl(c0, R)
     Zex = Zin - c0
     n0 = Zin[R - 1, 0]
     Oex = ps._rows((R, 1)) * LANES - Zex
@@ -217,7 +217,7 @@ def make_split_v2(use_mxu=False, cond_steps=True):
         else:
             cumZ = ps._inrow_cumsum(z)
         c0 = cumZ[:, LANES - 1 : LANES]
-        Zin = ps._narrow_cumsum_incl(c0, R_)
+        Zin = ps.narrow_cumsum_incl(c0, R_)
         Zex = Zin - c0
         n0 = Zin[R_ - 1, 0]
         Oex = ps._rows((R_, 1)) * LANES - Zex
@@ -321,7 +321,7 @@ def make_split_v3(cums16=True, meta16=True):
             cumZ16 = ps._inrow_cumsum(z)
             c0_16 = cumZ16[:, LANES - 1 : LANES]
             c0 = c0_16
-        Zin = ps._narrow_cumsum_incl(c0, R_)
+        Zin = ps.narrow_cumsum_incl(c0, R_)
         Zex = Zin - c0
         n0 = Zin[R_ - 1, 0]
         Oex = ps._rows((R_, 1)) * LANES - Zex
@@ -420,7 +420,7 @@ def make_split_v4():
         ).reshape(R_, LANES).astype(jnp.int32)
 
         c0 = cumZ[:, LANES - 1 : LANES]
-        Zin = ps._narrow_cumsum_incl(c0, R_)
+        Zin = ps.narrow_cumsum_incl(c0, R_)
         Zex = Zin - c0
         n0 = Zin[R_ - 1, 0]
         Oex = ps._rows((R_, 1)) * LANES - Zex

@@ -77,7 +77,7 @@ def make_split(variant):
         else:
             cumZ = ps._inrow_cumsum(z)
         c0 = cumZ[:, LANES - 1 : LANES]
-        Zin = ps._narrow_cumsum_incl(c0, R)
+        Zin = ps.narrow_cumsum_incl(c0, R)
         Zex = Zin - c0
         n0 = Zin[R - 1, 0]
         Oex = ps._rows((R, 1)) * LANES - Zex

@@ -68,9 +68,19 @@ def test_single_file_ops_match_package(single_module, seeded_rng):
 
 
 def test_single_file_has_full_surface(single_module):
+    import glu_tpu
+    import glu_tpu.parallel
+
     for name in [
         "DataType", "ReduceOperator", "Reduce", "BlellochScan", "RadixSort",
         "reduce", "exclusive_scan", "radix_sort", "radix_sort_keys",
         "DeviceBuffer", "distributed_radix_sort",
     ]:
         assert hasattr(single_module, name), name
+    # the single file must ship the ENTIRE public API (the reference
+    # amalgamates everything it ships, reference generate.py:34-37): every
+    # name exported by the package and its parallel layer
+    for name in getattr(glu_tpu, "__all__", []):
+        assert hasattr(single_module, name), f"package export missing: {name}"
+    for name in glu_tpu.parallel.__all__:
+        assert hasattr(single_module, name), f"parallel export missing: {name}"

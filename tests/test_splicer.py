@@ -98,6 +98,32 @@ def test_multiblock_keys_only(tiny_engine, seeded_rng):
     np.testing.assert_array_equal(out, np.sort(keys, kind="stable"))
 
 
+@pytest.mark.slow
+def test_production_geometry_multiblock(monkeypatch, seeded_rng):
+    """The SHIPPED constants (BLOCK_R=1024, CH_ROWS=72), not the shrunken
+    ones: a 3-block sort (n≈300K > 2*131072) exercises the multi-block
+    splicer at true geometry in interpret mode — the gap the shrunken tests
+    cannot close is a constants bug (e.g. _READ_ROWS too small for CH_ROWS,
+    slack-row underallocation) that only manifests at production sizes,
+    which otherwise only hardware runs would catch."""
+    import importlib
+
+    from glu_tpu.ops import _pallas_sort as ps
+
+    rs = importlib.import_module("glu_tpu.ops.radix_sort")
+    assert ps.BLOCK_R == 1024 and ps.CH_ROWS == 72, "constants drifted; update test"
+    monkeypatch.setenv("GLU_TPU_PALLAS_INTERPRET", "1")
+    rs._radix_sort_kv.clear_cache()
+    try:
+        # 2 full sort passes (8 bits): enough to run group+splice at full
+        # geometry twice (runs land on fresh boundaries the second pass)
+        # without paying all 8 interpret-mode passes
+        keys = seeded_rng(31).sample_int_vector(300_000, 0, 0xFFFFFFFE)
+        _check(keys, num_steps=2)
+    finally:
+        rs._radix_sort_kv.clear_cache()
+
+
 def test_single_maxblock_per_pass_route(tiny_engine, monkeypatch, seeded_rng):
     # num_blocks==1 with R==BLOCK_R takes the per-pass _group_pass route
     # (splice is the identity); force it by dropping the fused-path ceiling
