@@ -37,6 +37,7 @@ from .ops.radix_sort import (
     radix_sort_f32,
     radix_sort_i32,
     radix_sort_keys,
+    radix_sort_multi,
     radix_sort_segmented,
     radix_sort_u64,
     radix_sort_u64_parts,
@@ -74,6 +75,7 @@ __all__ = [
     "radix_sort_f32",
     "radix_sort_i32",
     "radix_sort_keys",
+    "radix_sort_multi",
     "radix_sort_segmented",
     "radix_sort_u64",
     "radix_sort_u64_parts",

@@ -17,7 +17,9 @@ from .radix_sort import (
     RadixSort,
     radix_sort,
     radix_sort_f32,
+    radix_sort_i32,
     radix_sort_keys,
+    radix_sort_multi,
     radix_sort_segmented,
     radix_sort_u64,
     radix_sort_u64_parts,

@@ -35,6 +35,13 @@ machine with no global atomics and no vector scatter:
         reference's scatter (reorder shader :142-182) as large linear
         DMAs — the only efficient "scatter" a TPU has.
 
+Every stage is generic over the number of PAYLOAD STREAMS riding the key:
+the reference moves exactly (key, value) (RadixSort.hpp:172-180); here 0
+streams is the keys-only sort (half the splice DMA of the pair sort), 1 is
+the reference contract, and N>1 carries multi-word keys (u64 halves) or the
+distributed layer's (hi, lo, value) payloads through ONE grouped movement —
+one descriptor set, one walk per split, N+1 DMA stream pairs.
+
 Stability: every stage is stable, and runs are spliced in (digit, block)
 order. The tail padding (0xFFFFFFFF keys) has the maximal digit each pass
 and starts positionally last, so it stays the exact global tail through
@@ -123,8 +130,9 @@ def _packed4_inrow_cumsum(z):
     ).reshape(R, LANES).astype(jnp.int32)
 
 
-def _split_round(k, v, bit):
-    """One stable 1-bit split of a (R, 128) block in row-major order."""
+def _split_round(k, vs, bit):
+    """One stable 1-bit split of a (R, 128) key block plus `vs` payload
+    blocks (list, possibly empty) in row-major order. Returns (k, vs)."""
     R = k.shape[0]
     lanes = _lanes((R, LANES))
     rows = _rows((R, LANES))
@@ -148,24 +156,24 @@ def _split_round(k, v, bit):
         lo = jnp.where(cm < target, lo + step, lo)
         step //= 2
     gk = jnp.take_along_axis(k, lo, axis=1)       # rows grouped [zeros|ones]
-    gv = jnp.take_along_axis(v, lo, axis=1) if v is not None else None
+    gvs = [jnp.take_along_axis(v, lo, axis=1) for v in vs]
 
     # b. route to final lane + dest-row tag
     def route(Fc, base, cnt):
         rank = (lanes - Fc) & (LANES - 1)   # floor-mod: & works for negatives
         src = jnp.clip(base + rank, 0, LANES - 1)
         rk = jnp.take_along_axis(gk, src, axis=1)
-        rv = jnp.take_along_axis(gv, src, axis=1) if gv is not None else None
+        rvs = [jnp.take_along_axis(gv, src, axis=1) for gv in gvs]
         valid = rank < cnt
         q = (Fc >> 7) + jnp.where(lanes < (Fc & (LANES - 1)), 1, 0)
         # flagless meta: remaining row delta only (0 = inert). A valid
         # element with delta 0 is already home and behaves identically to
         # an empty slot in the walk, so no occupancy flag is needed.
         meta = jnp.where(valid, jnp.abs(q - rows), 0)
-        return rk, rv, meta
+        return rk, rvs, meta
 
     # c. masked sublane log-shift to dest rows
-    def colshift(rk, rv, meta, up):
+    def colshift(rk, rvs, meta, up):
         s = 1
         while s < R:
             t = (R - s) % R if up else s          # roll: row r -> row r+t
@@ -174,29 +182,28 @@ def _split_round(k, v, bit):
             arrive = (m_s & s) != 0
             stay = (meta & s) == 0
             rk = jnp.where(arrive, rk_s, rk)
-            if rv is not None:
-                rv = jnp.where(arrive, pltpu.roll(rv, t, axis=0), rv)
+            rvs = [jnp.where(arrive, pltpu.roll(rv, t, axis=0), rv) for rv in rvs]
             meta = jnp.where(arrive, m_s - s, jnp.where(stay, meta, 0))
             s *= 2
-        return rk, rv
+        return rk, rvs
 
-    zk, zv, zmeta = route(Zex, jnp.zeros((R, 1), jnp.int32), c0)
-    ok_, ov_, ometa = route(jnp.int32(n0) + Oex, c0, LANES - c0)
-    zk, zv = colshift(zk, zv, zmeta, up=True)
-    ok_, ov_ = colshift(ok_, ov_, ometa, up=False)
+    zk, zvs, zmeta = route(Zex, jnp.zeros((R, 1), jnp.int32), c0)
+    ok_, ovs_, ometa = route(jnp.int32(n0) + Oex, c0, LANES - c0)
+    zk, zvs = colshift(zk, zvs, zmeta, up=True)
+    ok_, ovs_ = colshift(ok_, ovs_, ometa, up=False)
     sel = (rows * LANES + lanes) < n0
     out_k = jnp.where(sel, zk, ok_)
-    out_v = jnp.where(sel, zv, ov_) if v is not None else None
-    return out_k, out_v
+    out_vs = [jnp.where(sel, a, b) for a, b in zip(zvs, ovs_)]
+    return out_k, out_vs
 
 
-def _group_block(k, v, shift):
+def _group_block(k, vs, shift):
     """Group a (R,128) block stably by its FIELD_BITS-bit field at `shift`
     (LSB-first splits)."""
     for b in range(FIELD_BITS):
         bit = ((k >> (shift + jnp.uint32(b))) & jnp.uint32(1)).astype(jnp.int32)
-        k, v = _split_round(k, v, bit)
-    return k, v
+        k, vs = _split_round(k, vs, bit)
+    return k, vs
 
 
 def _counts_row(k, shift):
@@ -213,10 +220,12 @@ def _counts_row(k, shift):
 
 
 def _group_pass(shift_arr, keys2d, values2d, R, interpret, num_blocks=None):
-    """K1: returns (grouped keys, grouped values | None, counts (B, FIELDS)).
+    """K1: returns (grouped keys, grouped value streams (list), counts
+    (B, FIELDS)). values2d is a list of payload arrays (possibly empty).
     keys2d may carry trailing slack rows (excluded via num_blocks); grid
     steps only touch rows [0, num_blocks*R), the slack region passes
     through unwritten (don't-care for the splicer's over-reads)."""
+    ns = len(values2d)
     if num_blocks is None:
         num_blocks = keys2d.shape[0] // R
     data_spec = pl.BlockSpec((R, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -226,56 +235,41 @@ def _group_pass(shift_arr, keys2d, values2d, R, interpret, num_blocks=None):
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
-    if values2d is not None:
-
-        def kernel(shift_ref, k_ref, v_ref, ok_ref, ov_ref, cnt_ref):
-            shift = shift_ref[0].astype(jnp.uint32)
-            k, v = _group_block(k_ref[:], v_ref[:], shift)
-            ok_ref[:] = k
-            ov_ref[:] = v
-            cnt_ref[0] = _counts_row(k, shift)
-
-        ok, ov, cnt = pl.pallas_call(
-            kernel,
-            grid=(num_blocks,),
-            in_specs=[smem, data_spec, data_spec],
-            out_specs=[data_spec, data_spec, cnt_spec],
-            out_shape=[data_shape, data_shape, cnt_shape],
-            interpret=interpret,
-            compiler_params=params,
-        )(shift_arr, keys2d, values2d)
-        return ok, ov, cnt[:, 0, :FIELDS]
-
-    def kernel_k(shift_ref, k_ref, ok_ref, cnt_ref):
+    def kernel(shift_ref, *refs):
+        k_ref = refs[0]
+        v_refs = refs[1 : 1 + ns]
+        ok_ref = refs[1 + ns]
+        ov_refs = refs[2 + ns : 2 + 2 * ns]
+        cnt_ref = refs[2 + 2 * ns]
         shift = shift_ref[0].astype(jnp.uint32)
-        k, _ = _group_block(k_ref[:], None, shift)
+        k, vs = _group_block(k_ref[:], [v[:] for v in v_refs], shift)
         ok_ref[:] = k
+        for o, v in zip(ov_refs, vs):
+            o[:] = v
         cnt_ref[0] = _counts_row(k, shift)
 
-    ok, cnt = pl.pallas_call(
-        kernel_k,
+    outs = pl.pallas_call(
+        kernel,
         grid=(num_blocks,),
-        in_specs=[smem, data_spec],
-        out_specs=[data_spec, cnt_spec],
-        out_shape=[data_shape, cnt_shape],
+        in_specs=[smem] + [data_spec] * (1 + ns),
+        out_specs=[data_spec] * (1 + ns) + [cnt_spec],
+        out_shape=[data_shape] * (1 + ns) + [cnt_shape],
         interpret=interpret,
         compiler_params=params,
-    )(shift_arr, keys2d)
-    return ok, None, cnt[:, 0, :FIELDS]
+    )(shift_arr, keys2d, *values2d)
+    return outs[0], list(outs[1 : 1 + ns]), outs[1 + ns][:, 0, :FIELDS]
 
 
-def _splice_kernel_body(s_ref, d_ref, l_ref, ksrc_ref, vsrc_ref, kdst_ref, vdst_ref,
-                        kbuf, vbuf, kout, vout, kcarry, vcarry,
-                        sem_rd, sem_wr, sem_x):
-    """Copy run i (grid step i) of BOTH streams: flat [src, src+len) ->
-    flat [dst, dst+len) for keys and values with shared descriptors.
+def _splice_kernel_factory(ns: int):
+    """Kernel body copying run i (grid step i) of `ns` streams: flat
+    [src, src+len) -> flat [dst, dst+len) with shared descriptors.
 
     Software-pipelined across the sequential grid: step i consumes the
     reads issued at step i-1 (double-buffered slots), issues run i+1's
     reads before waiting on its own writes, and defers its write completion
     to step i+1 (which must wait anyway before touching the shared
-    boundary row). Every step issues exactly one read pair and one write
-    pair (dummy transfers into the slack region for empty runs) so the
+    boundary row). Every step issues exactly one read set and one write
+    set (dummy transfers into the slack region for empty runs) so the
     semaphore accounting is static. Runs longer than CH_ROWS fall back to
     an inline serial path for their extra chunks (sem_x).
 
@@ -285,216 +279,207 @@ def _splice_kernel_body(s_ref, d_ref, l_ref, ksrc_ref, vsrc_ref, kdst_ref, vdst_
     Reads cover _READ_ROWS source rows starting one row before the first
     needed hi row; when that pre-row would be source row -1 the read clamps
     to 0 and the lo tile is realigned by a one-row roll (see `tiles`).
-    Writes are
-    whole CH_ROWS chunks; spill beyond the run's end is rewritten by later
-    runs (ascending dst order) or lands in padded slack. kcarry/vcarry hold
-    the previous run's last output row for the boundary merge.
-    """
-    i = pl.program_id(0)
-    nruns = pl.num_programs(0)
-    slack_row = kdst_ref.shape[0] - CH_ROWS  # dummy-write target in slack
+    Writes are whole CH_ROWS chunks; spill beyond the run's end is rewritten
+    by later runs (ascending dst order) or lands in padded slack. Per-stream
+    carry scratch holds the previous run's last output row for the boundary
+    merge."""
 
-    def read_chunk_start(run, slot):
-        src = s_ref[run]
-        dst = d_ref[run]
-        ln = l_ref[run]
-        dq = (dst - src - (dst - src) % LANES) // LANES
-        hi0 = dst // LANES - dq
-        rd0 = jnp.where(ln > 0, jnp.maximum(hi0 - 1, 0), 0)
-        pltpu.make_async_copy(
-            ksrc_ref.at[pl.ds(rd0, _READ_ROWS), :], kbuf.at[slot], sem_rd.at[slot, 0]
-        ).start()
-        pltpu.make_async_copy(
-            vsrc_ref.at[pl.ds(rd0, _READ_ROWS), :], vbuf.at[slot], sem_rd.at[slot, 1]
-        ).start()
+    def body(s_ref, d_ref, l_ref, *refs):
+        src_refs = refs[:ns]
+        dst_refs = refs[ns : 2 * ns]
+        rbufs = refs[2 * ns : 3 * ns]
+        wbufs = refs[3 * ns : 4 * ns]
+        carries = refs[4 * ns : 5 * ns]
+        sem_rd = refs[5 * ns]
+        sem_wr = refs[5 * ns + 1]
+        sem_x = refs[5 * ns + 2]
 
-    def read_chunk_wait(run, slot):
-        src = s_ref[run]
-        dst = d_ref[run]
-        ln = l_ref[run]
-        dq = (dst - src - (dst - src) % LANES) // LANES
-        hi0 = dst // LANES - dq
-        rd0 = jnp.where(ln > 0, jnp.maximum(hi0 - 1, 0), 0)
-        pltpu.make_async_copy(
-            ksrc_ref.at[pl.ds(rd0, _READ_ROWS), :], kbuf.at[slot], sem_rd.at[slot, 0]
-        ).wait()
-        pltpu.make_async_copy(
-            vsrc_ref.at[pl.ds(rd0, _READ_ROWS), :], vbuf.at[slot], sem_rd.at[slot, 1]
-        ).wait()
+        i = pl.program_id(0)
+        nruns = pl.num_programs(0)
+        slack_row = dst_refs[0].shape[0] - CH_ROWS  # dummy-write target in slack
 
-    def write_wait(slot):
-        pltpu.make_async_copy(
-            kout.at[slot], kdst_ref.at[pl.ds(slack_row, CH_ROWS), :], sem_wr.at[slot, 0]
-        ).wait()
-        pltpu.make_async_copy(
-            vout.at[slot], vdst_ref.at[pl.ds(slack_row, CH_ROWS), :], sem_wr.at[slot, 1]
-        ).wait()
+        def rd0_of(run):
+            src = s_ref[run]
+            dst = d_ref[run]
+            ln = l_ref[run]
+            dq = (dst - src - (dst - src) % LANES) // LANES
+            hi0 = dst // LANES - dq
+            return jnp.where(ln > 0, jnp.maximum(hi0 - 1, 0), 0)
 
-    slot = i % 2
+        def read_chunk(run, slot, start):
+            rd0 = rd0_of(run)
+            for s in range(ns):
+                cp = pltpu.make_async_copy(
+                    src_refs[s].at[pl.ds(rd0, _READ_ROWS), :],
+                    rbufs[s].at[slot],
+                    sem_rd.at[slot, s],
+                )
+                cp.start() if start else cp.wait()
 
-    @pl.when(i == 0)
-    def _():
-        read_chunk_start(0, 0)
+        def write_wait(slot):
+            for s in range(ns):
+                pltpu.make_async_copy(
+                    wbufs[s].at[slot],
+                    dst_refs[s].at[pl.ds(slack_row, CH_ROWS), :],
+                    sem_wr.at[slot, s],
+                ).wait()
 
-    read_chunk_wait(i, slot)
+        slot = i % 2
 
-    # prefetch next run's read before stalling on anything else
-    @pl.when(i + 1 < nruns)
-    def _():
-        read_chunk_start(i + 1, (i + 1) % 2)
+        @pl.when(i == 0)
+        def _():
+            read_chunk(0, 0, True)
 
-    src = s_ref[i]
-    dst = d_ref[i]
-    ln = l_ref[i]
-    delta = dst - src
-    rot = delta % LANES
-    dq = (delta - rot) // LANES
-    dst_r0 = dst // LANES
-    dst_l0 = dst % LANES
-    n_out_rows = (dst_l0 + ln + LANES - 1) // LANES
-    nchunks = (n_out_rows + CH_ROWS - 1) // CH_ROWS
-    lanes2 = _lanes((CH_ROWS, LANES))
-    rows2 = _rows((CH_ROWS, LANES))
-    idx = (lanes2 - rot) % LANES
+        read_chunk(i, slot, False)
 
-    def rotate(tile_hi, tile_lo, carry, is_first):
-        a = jnp.take_along_axis(tile_hi, idx, axis=1)
-        b = jnp.take_along_axis(tile_lo, idx, axis=1)
-        out = jnp.where(lanes2 >= rot, a, b)
-        return jnp.where(is_first & (rows2 == 0) & (lanes2 < dst_l0), carry[0], out)
+        # prefetch next run's read before stalling on anything else
+        @pl.when(i + 1 < nruns)
+        def _():
+            read_chunk(i + 1, (i + 1) % 2, True)
 
-    def tiles(buf, slot_, base_):
-        """(hi, lo) tiles with lo[j] = hi[j-1]. When the read window starts
-        at source row 0 (base_ == 0, the pre-window row doesn't exist), the
-        clamped second slice would alias hi — realign it with a one-row
-        roll instead; its row 0 is garbage, but row 0's lanes < rot are
-        always masked there (hi0 == 0 forces dst_l0 >= rot, so the carry
-        merge covers them)."""
-        hi = buf[slot_, pl.ds(base_, CH_ROWS), :]
-        lo_raw = buf[slot_, pl.ds(jnp.maximum(base_ - 1, 0), CH_ROWS), :]
-        lo = jnp.where(base_ > 0, lo_raw, pltpu.roll(lo_raw, 1, axis=0))
-        return hi, lo
+        src = s_ref[i]
+        dst = d_ref[i]
+        ln = l_ref[i]
+        delta = dst - src
+        rot = delta % LANES
+        dq = (delta - rot) // LANES
+        dst_r0 = dst // LANES
+        dst_l0 = dst % LANES
+        n_out_rows = (dst_l0 + ln + LANES - 1) // LANES
+        nchunks = (n_out_rows + CH_ROWS - 1) // CH_ROWS
+        lanes2 = _lanes((CH_ROWS, LANES))
+        rows2 = _rows((CH_ROWS, LANES))
+        idx = (lanes2 - rot) % LANES
 
-    # --- chunk 0 (pipelined) --------------------------------------------
-    # compute BEFORE waiting the previous write: pure VPU work
-    src0 = s_ref[i]
-    hi0 = dst_r0 - dq
-    rd0 = jnp.maximum(hi0 - 1, 0)
-    base = hi0 - rd0
+        def rotate(tile_hi, tile_lo, carry, is_first):
+            a = jnp.take_along_axis(tile_hi, idx, axis=1)
+            b = jnp.take_along_axis(tile_lo, idx, axis=1)
+            out = jnp.where(lanes2 >= rot, a, b)
+            return jnp.where(is_first & (rows2 == 0) & (lanes2 < dst_l0), carry[0], out)
 
-    def first_chunk(buf, carry):
-        hi, lo_ = tiles(buf, slot, base)
-        return rotate(hi, lo_, carry, ln > 0)
+        def tiles(buf, slot_, base_):
+            """(hi, lo) tiles with lo[j] = hi[j-1]. When the read window
+            starts at source row 0 (base_ == 0, the pre-window row doesn't
+            exist), the clamped second slice would alias hi — realign it
+            with a one-row roll instead; its row 0 is garbage, but row 0's
+            lanes < rot are always masked there (hi0 == 0 forces
+            dst_l0 >= rot, so the carry merge covers them)."""
+            hi = buf[slot_, pl.ds(base_, CH_ROWS), :]
+            lo_raw = buf[slot_, pl.ds(jnp.maximum(base_ - 1, 0), CH_ROWS), :]
+            lo = jnp.where(base_ > 0, lo_raw, pltpu.roll(lo_raw, 1, axis=0))
+            return hi, lo
 
-    k0 = first_chunk(kbuf, kcarry)
-    v0 = first_chunk(vbuf, vcarry)
-    kout[slot] = k0
-    vout[slot] = v0
-    last0 = n_out_rows - 1
+        # --- chunk 0 (pipelined) ------------------------------------------
+        # compute BEFORE waiting the previous write: pure VPU work
+        hi0 = dst_r0 - dq
+        rd0 = jnp.maximum(hi0 - 1, 0)
+        base = hi0 - rd0
 
-    @pl.when((ln > 0) & (last0 < CH_ROWS))
-    def _():
-        kcarry[0] = kout[slot, last0, :]
-        vcarry[0] = vout[slot, last0, :]
+        for s in range(ns):
+            hi, lo_ = tiles(rbufs[s], slot, base)
+            wbufs[s][slot] = rotate(hi, lo_, carries[s], ln > 0)
+        last0 = n_out_rows - 1
 
-    # previous step's write must complete before we touch the shared
-    # boundary row (and before slot reuse)
-    @pl.when(i > 0)
-    def _():
-        write_wait(1 - slot)
+        @pl.when((ln > 0) & (last0 < CH_ROWS))
+        def _():
+            for s in range(ns):
+                carries[s][0] = wbufs[s][slot, last0, :]
 
-    wrow = jnp.where(ln > 0, dst_r0, slack_row)
-    pltpu.make_async_copy(
-        kout.at[slot], kdst_ref.at[pl.ds(wrow, CH_ROWS), :], sem_wr.at[slot, 0]
-    ).start()
-    pltpu.make_async_copy(
-        vout.at[slot], vdst_ref.at[pl.ds(wrow, CH_ROWS), :], sem_wr.at[slot, 1]
-    ).start()
+        # previous step's write must complete before we touch the shared
+        # boundary row (and before slot reuse)
+        @pl.when(i > 0)
+        def _():
+            write_wait(1 - slot)
 
-    # --- extra chunks (serial path, rare: run longer than CH_ROWS) -------
-    @pl.when(nchunks > 1)
-    def _():
-        def chunk_body(c, _):
-            hi0c = dst_r0 + c * CH_ROWS - dq
-            rd0c = jnp.maximum(hi0c - 1, 0)
-            basec = hi0c - rd0c
-            rk = pltpu.make_async_copy(
-                ksrc_ref.at[pl.ds(rd0c, _READ_ROWS), :], kbuf.at[2], sem_x.at[0]
-            )
-            rv = pltpu.make_async_copy(
-                vsrc_ref.at[pl.ds(rd0c, _READ_ROWS), :], vbuf.at[2], sem_x.at[1]
-            )
-            rk.start(); rv.start(); rk.wait(); rv.wait()
+        wrow = jnp.where(ln > 0, dst_r0, slack_row)
+        for s in range(ns):
+            pltpu.make_async_copy(
+                wbufs[s].at[slot],
+                dst_refs[s].at[pl.ds(wrow, CH_ROWS), :],
+                sem_wr.at[slot, s],
+            ).start()
 
-            def mk(buf):
-                hi, lo_ = tiles(buf, 2, basec)
-                return rotate(hi, lo_, kcarry, False)
+        # --- extra chunks (serial path, rare: run longer than CH_ROWS) -----
+        @pl.when(nchunks > 1)
+        def _():
+            def chunk_body(c, _):
+                hi0c = dst_r0 + c * CH_ROWS - dq
+                rd0c = jnp.maximum(hi0c - 1, 0)
+                basec = hi0c - rd0c
+                rds = [
+                    pltpu.make_async_copy(
+                        src_refs[s].at[pl.ds(rd0c, _READ_ROWS), :],
+                        rbufs[s].at[2],
+                        sem_x.at[0, s],
+                    )
+                    for s in range(ns)
+                ]
+                for cp in rds:
+                    cp.start()
+                for cp in rds:
+                    cp.wait()
+                for s in range(ns):
+                    hi, lo_ = tiles(rbufs[s], 2, basec)
+                    wbufs[s][2] = rotate(hi, lo_, carries[s], False)
+                lastc = last0 - c * CH_ROWS
 
-            kc = mk(kbuf)
-            vc_hi, vc_lo = tiles(vbuf, 2, basec)
-            vc = jnp.where(lanes2 >= rot, jnp.take_along_axis(vc_hi, idx, axis=1),
-                           jnp.take_along_axis(vc_lo, idx, axis=1))
-            kout[2] = kc
-            vout[2] = vc
-            lastc = last0 - c * CH_ROWS
+                @pl.when((lastc >= 0) & (lastc < CH_ROWS))
+                def _():
+                    for s in range(ns):
+                        carries[s][0] = wbufs[s][2, lastc, :]
 
-            @pl.when((lastc >= 0) & (lastc < CH_ROWS))
-            def _():
-                kcarry[0] = kout[2, lastc, :]
-                vcarry[0] = vout[2, lastc, :]
+                wrs = [
+                    pltpu.make_async_copy(
+                        wbufs[s].at[2],
+                        dst_refs[s].at[pl.ds(dst_r0 + c * CH_ROWS, CH_ROWS), :],
+                        sem_x.at[1, s],
+                    )
+                    for s in range(ns)
+                ]
+                for cp in wrs:
+                    cp.start()
+                for cp in wrs:
+                    cp.wait()
+                return 0
 
-            wk = pltpu.make_async_copy(
-                kout.at[2], kdst_ref.at[pl.ds(dst_r0 + c * CH_ROWS, CH_ROWS), :], sem_x.at[2]
-            )
-            wv = pltpu.make_async_copy(
-                vout.at[2], vdst_ref.at[pl.ds(dst_r0 + c * CH_ROWS, CH_ROWS), :], sem_x.at[3]
-            )
-            wk.start(); wv.start(); wk.wait(); wv.wait()
-            return 0
+            jax.lax.fori_loop(1, nchunks, chunk_body, 0)
 
-        jax.lax.fori_loop(1, nchunks, chunk_body, 0)
+        # drain the last step's own write
+        @pl.when(i == nruns - 1)
+        def _():
+            write_wait(slot)
 
-    # drain the last step's own write
-    @pl.when(i == nruns - 1)
-    def _():
-        write_wait(slot)
+    return body
 
 
-def _splice_kv(srcs, dsts, lens, flat_k, flat_v, total_rows, interpret):
-    """K2: sequential run splicer over both streams. flat_k/flat_v:
-    (rows, 128) padded sources. Returns spliced (keys, values)."""
+def _splice_streams(srcs, dsts, lens, streams, total_rows, interpret):
+    """K2: sequential run splicer over `streams` (list of (rows, 128) padded
+    sources moved with shared descriptors). Returns the spliced list."""
+    ns = len(streams)
     nruns = srcs.shape[0]
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
-    out_shape = jax.ShapeDtypeStruct((total_rows, LANES), jnp.uint32)
-    ok, ov = pl.pallas_call(
-        _splice_kernel_body,
+    out_shape = [jax.ShapeDtypeStruct((total_rows, LANES), jnp.uint32)] * ns
+    outs = pl.pallas_call(
+        _splice_kernel_factory(ns),
         grid=(nruns,),
-        in_specs=[smem, smem, smem, anyspec, anyspec],
-        out_specs=[anyspec, anyspec],
-        out_shape=[out_shape, out_shape],
-        scratch_shapes=[
-            pltpu.VMEM((3, _READ_ROWS, LANES), jnp.uint32),   # k read bounce (2 pipelined + 1 serial)
-            pltpu.VMEM((3, _READ_ROWS, LANES), jnp.uint32),   # v read bounce
-            pltpu.VMEM((3, CH_ROWS, LANES), jnp.uint32),      # k write bounce
-            pltpu.VMEM((3, CH_ROWS, LANES), jnp.uint32),      # v write bounce
-            pltpu.VMEM((8, LANES), jnp.uint32),               # k carry (row 0)
-            pltpu.VMEM((8, LANES), jnp.uint32),               # v carry (row 0)
-            pltpu.SemaphoreType.DMA((2, 2)),                  # pipelined reads
-            pltpu.SemaphoreType.DMA((2, 2)),                  # pipelined writes
-            pltpu.SemaphoreType.DMA((4,)),                    # serial extra chunks
-        ],
+        in_specs=[smem, smem, smem] + [anyspec] * ns,
+        out_specs=[anyspec] * ns,
+        out_shape=out_shape,
+        scratch_shapes=(
+            [pltpu.VMEM((3, _READ_ROWS, LANES), jnp.uint32) for _ in range(ns)]  # read bounce (2 pipelined + 1 serial)
+            + [pltpu.VMEM((3, CH_ROWS, LANES), jnp.uint32) for _ in range(ns)]   # write bounce
+            + [pltpu.VMEM((8, LANES), jnp.uint32) for _ in range(ns)]            # carry (row 0)
+            + [
+                pltpu.SemaphoreType.DMA((2, ns)),  # pipelined reads
+                pltpu.SemaphoreType.DMA((2, ns)),  # pipelined writes
+                pltpu.SemaphoreType.DMA((2, ns)),  # serial extra chunks
+            ]
+        ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(srcs, dsts, lens, flat_k, flat_v)
-    return ok, ov
-
-
-def _splice_k(srcs, dsts, lens, flat_k, total_rows, interpret):
-    """Keys-only splicer (values=None path): reuses the fused kernel with
-    the key stream duplicated — simple and rarely the hot path."""
-    ok, _ = _splice_kv(srcs, dsts, lens, flat_k, flat_k, total_rows, interpret)
-    return ok
+    )(srcs, dsts, lens, *streams)
+    return list(outs)
 
 
 def _run_descriptors(counts, R):
@@ -523,7 +508,7 @@ def _choose_block_rows(n: int) -> int:
     return r
 
 
-def _single_block_sort(shift_unused, keys2d, values2d, R, num_steps, interpret):
+def _single_block_sort(keys2d, values2d, R, num_steps, interpret):
     """Fused path for single-block inputs: all num_steps*FIELD-bit splits in
     ONE kernel invocation (the splice is the identity when there is only one
     block, so the whole LSD sort collapses into one VMEM-resident kernel —
@@ -531,53 +516,51 @@ def _single_block_sort(shift_unused, keys2d, values2d, R, num_steps, interpret):
     how the reference's small sorts are dominated by its per-pass dispatch
     overhead, README.md:120-125)."""
     nbits = num_steps * RADIX_BITS
+    ns = len(values2d)
 
-    def kernel(k_ref, v_ref, ok_ref, ov_ref):
+    def kernel(*refs):
+        k_ref = refs[0]
+        v_refs = refs[1 : 1 + ns]
+        ok_ref = refs[1 + ns]
+        ov_refs = refs[2 + ns :]
+
         def body(b, kv):
-            k, v = kv
+            k, vs = kv
             bit = ((k >> b.astype(jnp.uint32)) & jnp.uint32(1)).astype(jnp.int32)
-            return _split_round(k, v, bit)
+            k, vs = _split_round(k, list(vs), bit)
+            return k, tuple(vs)
 
-        k, v = jax.lax.fori_loop(0, nbits, body, (k_ref[:], v_ref[:]))
+        k, vs = jax.lax.fori_loop(
+            0, nbits, body, (k_ref[:], tuple(v[:] for v in v_refs))
+        )
         ok_ref[:] = k
-        ov_ref[:] = v
-
-    def kernel_k(k_ref, ok_ref):
-        def body(b, k):
-            bit = ((k >> b.astype(jnp.uint32)) & jnp.uint32(1)).astype(jnp.int32)
-            return _split_round(k, None, bit)[0]
-
-        ok_ref[:] = jax.lax.fori_loop(0, nbits, body, k_ref[:])
+        for o, v in zip(ov_refs, vs):
+            o[:] = v
 
     spec = pl.BlockSpec((R, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct(keys2d.shape, jnp.uint32)
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-    if values2d is not None:
-        return pl.pallas_call(
-            kernel,
-            grid=(1,),
-            in_specs=[spec, spec],
-            out_specs=[spec, spec],
-            out_shape=[shape, shape],
-            interpret=interpret,
-            compiler_params=params,
-        )(keys2d, values2d)
-    out = pl.pallas_call(
-        kernel_k,
+    outs = pl.pallas_call(
+        kernel,
         grid=(1,),
-        in_specs=[spec],
-        out_specs=spec,
-        out_shape=shape,
+        in_specs=[spec] * (1 + ns),
+        out_specs=[spec] * (1 + ns),
+        out_shape=[shape] * (1 + ns),
         interpret=interpret,
         compiler_params=params,
-    )(keys2d)
-    return out, None
+    )(keys2d, *values2d)
+    return outs[0], list(outs[1:])
 
 
-def pallas_radix_sort(keys: jax.Array, values, num_steps: int):
-    """Stable LSD radix sort of u32 keys (+ optional u32 values), k 4-bit
-    passes (reference operator() semantics, RadixSort.hpp:273)."""
+def pallas_radix_sort_streams(keys: jax.Array, payloads, num_steps: int):
+    """Stable LSD radix sort of u32 keys with a LIST of u32 payload streams
+    permuted identically (reference operator() semantics for the (key,
+    value) case, RadixSort.hpp:273; N-stream movement is the TPU extension
+    the multi-word-key and distributed layers build on). Returns
+    (sorted keys, list of permuted payloads)."""
     interp = interpret_mode()
+    payloads = list(payloads)
+    ns = len(payloads)
     n = keys.shape[0]
     R = _choose_block_rows(n)
     S = R * LANES
@@ -585,34 +568,30 @@ def pallas_radix_sort(keys: jax.Array, values, num_steps: int):
     num_blocks = padded // S
     total_rows = padded // LANES
     vlog(
-        "radix_sort n=%d: R=%d blocks=%d passes=%d splice_runs/pass=%d",
-        n, R, num_blocks, num_steps * (RADIX_BITS // FIELD_BITS),
+        "radix_sort n=%d: R=%d blocks=%d streams=%d passes=%d splice_runs/pass=%d",
+        n, R, num_blocks, ns, num_steps * (RADIX_BITS // FIELD_BITS),
         num_blocks * FIELDS if num_blocks > 1 else 0,
     )
 
     kp = jnp.pad(keys, (0, padded - n), constant_values=jnp.uint32(0xFFFFFFFF))
-    vp = jnp.pad(values, (0, padded - n)) if values is not None else None
+    vps = [jnp.pad(v, (0, padded - n)) for v in payloads]
 
     k2 = kp.reshape(total_rows, LANES)
-    v2 = vp.reshape(total_rows, LANES) if vp is not None else None
+    v2s = [vp.reshape(total_rows, LANES) for vp in vps]
 
     if num_blocks == 1 and R <= _FUSE_MAX_R:
         # small single block: the whole sort fuses into ONE kernel — no
         # splices, no per-pass glue (bit-by-bit LSD = 4-bit-by-4-bit LSD)
-        k2, v2 = _single_block_sort(None, k2, v2, R, num_steps, interp)
-        out_k = k2.reshape(-1)[:n]
-        out_v = v2.reshape(-1)[:n] if v2 is not None else None
-        return out_k, out_v
+        k2, v2s = _single_block_sort(k2, v2s, R, num_steps, interp)
+        return k2.reshape(-1)[:n], [v.reshape(-1)[:n] for v in v2s]
     if num_blocks == 1:
         # one max-size block: per-pass grouping, splice is the identity
         # (the fused form compiles to much slower code at R=1024)
         internal_passes = num_steps * (RADIX_BITS // FIELD_BITS)
         for step in range(internal_passes):
             shift_arr = jnp.array([step * FIELD_BITS], dtype=jnp.int32)
-            k2, v2, _ = _group_pass(shift_arr, k2, v2, R, interp)
-        out_k = k2.reshape(-1)[:n]
-        out_v = v2.reshape(-1)[:n] if v2 is not None else None
-        return out_k, out_v
+            k2, v2s, _ = _group_pass(shift_arr, k2, v2s, R, interp)
+        return k2.reshape(-1)[:n], [v.reshape(-1)[:n] for v in v2s]
 
     # splicer slack rows are allocated ONCE and carried through all passes
     # (re-padding each pass would copy the full arrays 2x per pass); the
@@ -621,18 +600,26 @@ def pallas_radix_sort(keys: jax.Array, values, num_steps: int):
     slack = _slack_rows()
     rows_slacked = total_rows + slack
     k2 = jnp.pad(k2, ((0, slack), (0, 0)))
-    v2 = jnp.pad(v2, ((0, slack), (0, 0))) if v2 is not None else None
+    v2s = [jnp.pad(v, ((0, slack), (0, 0))) for v in v2s]
 
     internal_passes = num_steps * (RADIX_BITS // FIELD_BITS)
     for step in range(internal_passes):
         shift_arr = jnp.array([step * FIELD_BITS], dtype=jnp.int32)
-        gk, gv, counts = _group_pass(shift_arr, k2, v2, R, interp, num_blocks)
+        gk, gvs, counts = _group_pass(shift_arr, k2, v2s, R, interp, num_blocks)
         srcs, dsts, lens = _run_descriptors(counts, R)
-        if gv is not None:
-            k2, v2 = _splice_kv(srcs, dsts, lens, gk, gv, rows_slacked, interp)
-        else:
-            k2 = _splice_k(srcs, dsts, lens, gk, rows_slacked, interp)
+        spliced = _splice_streams(srcs, dsts, lens, [gk] + gvs, rows_slacked, interp)
+        k2, v2s = spliced[0], spliced[1:]
 
     out_k = k2[:total_rows].reshape(-1)[:n]
-    out_v = v2[:total_rows].reshape(-1)[:n] if v2 is not None else None
-    return out_k, out_v
+    out_vs = [v[:total_rows].reshape(-1)[:n] for v in v2s]
+    return out_k, out_vs
+
+
+def pallas_radix_sort(keys: jax.Array, values, num_steps: int):
+    """Stable LSD radix sort of u32 keys (+ optional u32 values), k 4-bit
+    passes (reference operator() semantics, RadixSort.hpp:273)."""
+    if values is None:
+        out_k, _ = pallas_radix_sort_streams(keys, [], num_steps)
+        return out_k, None
+    out_k, out_vs = pallas_radix_sort_streams(keys, [values], num_steps)
+    return out_k, out_vs[0]

@@ -42,14 +42,15 @@ RADIX = 1 << RADIX_BITS  # 16 buckets
 NUM_PASSES = 32 // RADIX_BITS  # 8 passes over u32 keys
 
 
-def _sort_pass_xla(keys: jax.Array, values: jax.Array | None, shift: int):
+def _sort_pass_xla(keys: jax.Array, values, shift: int):
     """One stable counting-sort pass by the 4-bit digit at `shift` (jnp only).
 
     Mirrors the reference pass structure (count :296-307 / scan :311 /
     reorder :315-329) as dense vector ops: per-digit exclusive cumsum gives
     each element its stable rank among equal digits, the digit histogram's
     exclusive scan gives bucket bases, and a unique-index scatter realizes
-    the permutation.
+    the permutation. `values` is a tuple of payload arrays scattered with
+    the same destinations.
     """
     n = keys.shape[0]
     digit = (keys >> shift.astype(jnp.uint32)) & jnp.uint32(RADIX - 1)
@@ -69,38 +70,38 @@ def _sort_pass_xla(keys: jax.Array, values: jax.Array | None, shift: int):
     start = jnp.cumsum(hist) - hist  # exclusive bucket bases
     dest = start[digit] + rank
     out_k = jnp.zeros_like(keys).at[dest].set(keys, unique_indices=True)
-    if values is None:
-        return out_k, None
-    out_v = jnp.zeros_like(values).at[dest].set(values, unique_indices=True)
-    return out_k, out_v
+    out_vs = tuple(
+        jnp.zeros_like(v).at[dest].set(v, unique_indices=True) for v in values
+    )
+    return out_k, out_vs
 
 
 @partial(jax.jit, static_argnames=("num_steps", "backend"), donate_argnums=(0, 1))
-def _radix_sort_kv(keys, values, num_steps: int, backend: str):
+def _radix_sort_streams(keys, values, num_steps: int, backend: str):
+    """Core jitted entry: u32 keys + a TUPLE of u32 payload streams permuted
+    identically (one grouped movement, one descriptor set — N payloads cost
+    one engine pass, not N). Donates all inputs (the SSBO ping-pong analog,
+    reference RadixSort.hpp:286)."""
     if backend == "pallas":
-        from ._pallas_sort import pallas_radix_sort
+        from ._pallas_sort import pallas_radix_sort_streams
 
-        return pallas_radix_sort(keys, values, num_steps)
+        out_k, out_vs = pallas_radix_sort_streams(keys, list(values), num_steps)
+        return out_k, tuple(out_vs)
 
     def pass_body(step, kv):
         return _sort_pass_xla(kv[0], kv[1], step * RADIX_BITS)
 
-    return jax.lax.fori_loop(0, num_steps, pass_body, (keys, values))
+    return jax.lax.fori_loop(0, num_steps, pass_body, (keys, tuple(values)))
 
 
-@partial(jax.jit, static_argnames=("num_steps", "backend"), donate_argnums=(0,))
+def _radix_sort_kv(keys, values, num_steps: int, backend: str):
+    out_k, out_vs = _radix_sort_streams(keys, (values,), num_steps, backend)
+    return out_k, out_vs[0]
+
+
 def _radix_sort_k(keys, num_steps: int, backend: str):
-    if backend == "pallas":
-        from ._pallas_sort import pallas_radix_sort
-
-        keys, _ = pallas_radix_sort(keys, None, num_steps)
-        return keys
-
-    def pass_body(step, k):
-        out_k, _ = _sort_pass_xla(k, None, step * RADIX_BITS)
-        return out_k
-
-    return jax.lax.fori_loop(0, num_steps, pass_body, keys)
+    out_k, _ = _radix_sort_streams(keys, (), num_steps, backend)
+    return out_k
 
 
 def _norm_steps(num_steps) -> int:
@@ -155,6 +156,36 @@ def radix_sort_keys(keys: jax.Array, num_steps: int = 0, *, backend: str | None 
     return _radix_sort_k(keys, steps, resolve_backend(backend))
 
 
+def radix_sort_multi(
+    keys: jax.Array,
+    payloads,
+    num_steps: int = 0,
+    *,
+    backend: str | None = None,
+):
+    """Stably sort u32 keys with ANY number of u32 payload streams permuted
+    identically — the N-stream generalization of the reference's mandatory
+    (key, value) contract (README.md:88-89). Returns
+    (sorted_keys, tuple_of_permuted_payloads).
+
+    All payloads ride ONE engine pass per digit (one descriptor set, one
+    grouped movement, N+1 DMA stream pairs) — the building block under the
+    multi-word-key sorts and the distributed layer's bucket partition.
+    Inputs are donated: treat them as consumed.
+    """
+    payloads = tuple(payloads)
+    check_argument(keys.ndim == 1, "keys must be 1-D")
+    check_argument(keys.dtype == jnp.uint32, "keys must be uint32, got %s", keys.dtype)
+    for i, v in enumerate(payloads):
+        check_argument(v.ndim == 1, "payload %d must be 1-D", i)
+        check_argument(v.shape == keys.shape, "payload %d length mismatch", i)
+        check_argument(v.dtype == jnp.uint32, "payload %d must be uint32, got %s", i, v.dtype)
+    if keys.shape[0] <= 1:
+        return keys, payloads
+    steps = _norm_steps(num_steps)
+    return _radix_sort_streams(keys, payloads, steps, resolve_backend(backend))
+
+
 def radix_sort_u64_parts(
     keys_hi: jax.Array,
     keys_lo: jax.Array,
@@ -168,9 +199,10 @@ def radix_sort_u64_parts(
 
     LSD composition: a full stable sort by the low word, then a full stable
     sort by the high word, is a stable 64-bit sort (16 4-bit passes total).
-    The halves ride the u32 engine with an index payload; the caller's
-    arrays are then permuted with one gather each (not donated).
-    """
+    Both sorts ride the multi-stream engine directly — (hi, value) travel as
+    payloads of the lo sort and (lo, value) as payloads of the hi sort, one
+    grouped movement each, no index payload and no gathers. The caller's
+    arrays are copied once (not donated)."""
     check_argument(
         keys_hi.ndim == 1 and keys_lo.ndim == 1 and values.ndim == 1,
         "keys_hi/keys_lo/values must be 1-D",
@@ -184,12 +216,11 @@ def radix_sort_u64_parts(
     if n <= 1:
         return keys_hi, keys_lo, values
     b = resolve_backend(backend)
-    idx = jnp.arange(n, dtype=jnp.uint32)
-    _, p1 = _radix_sort_kv(jnp.copy(keys_lo), idx, NUM_PASSES, b)
-    hi1 = jnp.take(keys_hi, p1.astype(jnp.int32))
-    _, p2 = _radix_sort_kv(hi1, p1, NUM_PASSES, b)
-    pi = p2.astype(jnp.int32)
-    return jnp.take(keys_hi, pi), jnp.take(keys_lo, pi), jnp.take(values, pi)
+    lo1, (hi1, v1) = _radix_sort_streams(
+        jnp.copy(keys_lo), (jnp.copy(keys_hi), jnp.copy(values)), NUM_PASSES, b
+    )
+    hi2, (lo2, v2) = _radix_sort_streams(hi1, (lo1, v1), NUM_PASSES, b)
+    return hi2, lo2, v2
 
 
 def radix_sort_segmented(
@@ -204,11 +235,12 @@ def radix_sort_segmented(
     partition batching (reference BlellochScan.hpp:125-138; the reference
     has no segmented sort). Returns (sorted_keys, permuted_values).
 
-    LSD composition on the existing engine: a full stable sort by key with
-    an index payload, then a stable PARTIAL sort (num_steps) by segment id
-    — exactly enough low-bit passes to cover log2(num_partitions) bits.
-    Stability of the second sort preserves the key order within each
-    segment, so the result is a per-segment stable key sort.
+    LSD composition on the multi-stream engine: a full stable sort by key
+    carrying (value, index) payloads, then a stable PARTIAL sort by segment
+    id — exactly enough low-bit passes to cover log2(num_partitions) bits —
+    carrying (key, value). Stability of the second sort preserves the key
+    order within each segment, so the result is a per-segment stable key
+    sort. No gathers: every permutation is applied by the engine itself.
     """
     check_argument(keys.ndim == 1 and values.ndim == 1, "keys/values must be 1-D")
     check_argument(keys.shape == values.shape, "keys/values length mismatch")
@@ -227,11 +259,12 @@ def radix_sort_segmented(
     seg_steps = -(-seg_bits // RADIX_BITS)  # ceil: passes covering segment ids
     part = n // p
     idx = jnp.arange(n, dtype=jnp.uint32)
-    _, p1 = _radix_sort_kv(jnp.copy(keys), idx, NUM_PASSES, b)
+    k1, (v1, p1) = _radix_sort_streams(
+        jnp.copy(keys), (jnp.copy(values), idx), NUM_PASSES, b
+    )
     seg1 = p1 // jnp.uint32(part)  # segment id of each key-sorted element
-    _, p2 = _radix_sort_kv(seg1, p1, seg_steps, b)
-    pi = p2.astype(jnp.int32)
-    return jnp.take(keys, pi), jnp.take(values, pi)
+    _, (k2, v2) = _radix_sort_streams(seg1, (k1, v1), seg_steps, b)
+    return k2, v2
 
 
 def radix_sort_u64(

@@ -8,10 +8,10 @@ implements BASELINE.json's north-star capability TPU-natively:
      splitters adapt to the key distribution, unlike fixed-range bits);
   2. bucket partition: each device stably groups its shard by destination
      bucket — NOT with XLA scatter/gather (pathologically slow on TPU:
-     element-at-a-time loops) but with the radix engine itself: two stable
-     partial sorts keyed on the bucket id (log16(D) passes each) permute
-     keys and values identically, and per-bucket offsets fall out of a
-     searchsorted on the sorted bucket ids;
+     element-at-a-time loops) but with the radix engine itself: ONE stable
+     partial multi-stream sort keyed on the bucket id (log16(D) passes)
+     moves every payload through the same grouped movement, and per-bucket
+     offsets fall out of a searchsorted on the sorted bucket ids;
   3. ONE all-to-all bucket exchange over ICI (cheaper than the per-pass
      exchange sketched in BASELINE.json: 1x data volume instead of 8x);
      the padded layout is produced by per-bucket `lax.dynamic_slice` DMAs
@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.radix_sort import radix_sort, radix_sort_u64_parts
+from ..ops.radix_sort import radix_sort, radix_sort_multi, radix_sort_u64_parts
 from ..utils.errors import check_argument
 
 _PAD_KEY = 0xFFFFFFFF
@@ -148,26 +148,24 @@ def _partition_by_bucket(bucket, arrays, num_devices: int, backend):
     """Stable grouping of the local shard by destination bucket, using the
     radix engine (the fast path on every backend) instead of XLA scatter.
 
-    One stable partial sort per payload array, all keyed on the SAME bucket
-    ids, applies the SAME permutation to every array (stable sort of
-    identical keys is a deterministic permutation). Offsets come from a
-    binary search over the sorted bucket ids. Returns (arrays, counts,
-    offsets) with buckets contiguous in ascending order."""
+    ONE stable partial multi-stream sort keyed on the bucket ids moves every
+    payload array through the same grouped movement (one descriptor set —
+    the u64 pipeline's 3 payloads cost one partition pass, not three).
+    Offsets come from a binary search over the sorted bucket ids. Returns
+    (arrays, counts, offsets) with buckets contiguous in ascending order."""
     n = bucket.shape[0]
     if num_devices == 1:
         return arrays, jnp.full((1,), n, jnp.int32), jnp.zeros((1,), jnp.int32)
     steps = _num_bucket_steps(num_devices)
-    b = bucket.astype(jnp.uint32)
-    outs = []
-    for a in arrays:
-        sb, pa = radix_sort(b, a, num_steps=steps, backend=backend)
-        outs.append(pa)
+    sb, outs = radix_sort_multi(
+        bucket.astype(jnp.uint32), tuple(arrays), num_steps=steps, backend=backend
+    )
     offsets = jnp.searchsorted(
         sb, jnp.arange(num_devices, dtype=jnp.uint32), side="left"
     ).astype(jnp.int32)
     ends = jnp.concatenate([offsets[1:], jnp.full((1,), n, jnp.int32)])
     counts = ends - offsets
-    return outs, counts, offsets
+    return list(outs), counts, offsets
 
 
 def _spread_to_padded(arrays, fills, counts, offsets, num_devices: int, capacity: int):

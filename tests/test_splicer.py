@@ -1,7 +1,7 @@
 """Multi-block splicer coverage (interpret mode).
 
 The general large-N sort path — per-pass `_group_pass` + `_run_descriptors`
-+ the hand-scheduled DMA `_splice_kernel_body` (semaphore pipelining, carry
++ the hand-scheduled DMA splice kernel (semaphore pipelining, carry
 rows, slack-region over-writes) — never triggers at suite-sized inputs with
 the production geometry (BLOCK_R=1024 ⇒ one block below 131K elements).
 These tests shrink the engine geometry so every splicer path runs in CI at
@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from glu_tpu import radix_sort, radix_sort_keys
+from glu_tpu import radix_sort, radix_sort_keys, radix_sort_multi
 
 
 @pytest.fixture
@@ -36,11 +36,9 @@ def tiny_engine(monkeypatch):
     monkeypatch.setattr(ps, "BLOCK_R", 16)
     monkeypatch.setattr(ps, "CH_ROWS", 8)
     monkeypatch.setattr(ps, "_READ_ROWS", 16)
-    rs._radix_sort_kv.clear_cache()
-    rs._radix_sort_k.clear_cache()
+    rs._radix_sort_streams.clear_cache()
     yield ps
-    rs._radix_sort_kv.clear_cache()
-    rs._radix_sort_k.clear_cache()
+    rs._radix_sort_streams.clear_cache()
 
 
 def _check(keys: np.ndarray, num_steps: int = 0):
@@ -92,10 +90,27 @@ def test_multiblock_partial_steps(num_steps, tiny_engine, seeded_rng):
 
 
 def test_multiblock_keys_only(tiny_engine, seeded_rng):
-    # _splice_k path: key stream duplicated through the fused splicer
+    # single-stream splicer (ns=1): no value stream rides along
     keys = seeded_rng(23).sample_int_vector(6000, 0, 0xFFFFFFFE)
     out = np.asarray(radix_sort_keys(jnp.asarray(keys), backend="pallas"))
     np.testing.assert_array_equal(out, np.sort(keys, kind="stable"))
+
+
+@pytest.mark.parametrize("nstreams", [2, 3])
+def test_multiblock_multi_payload(nstreams, tiny_engine, seeded_rng):
+    # N payload streams through one grouped movement + one splice descriptor
+    # set (the u64 / dist-partition configuration)
+    keys = seeded_rng(41 + nstreams).sample_int_vector(6200, 0, 0xFFFFFFFE)
+    payloads = tuple(
+        np.arange(keys.size, dtype=np.uint32) * np.uint32(s + 1) for s in range(nstreams)
+    )
+    out_k, out_vs = radix_sort_multi(
+        jnp.asarray(keys), tuple(jnp.asarray(p) for p in payloads), backend="pallas"
+    )
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(out_k), keys[order])
+    for p, o in zip(payloads, out_vs):
+        np.testing.assert_array_equal(np.asarray(o), p[order])
 
 
 @pytest.mark.slow
@@ -113,7 +128,7 @@ def test_production_geometry_multiblock(monkeypatch, seeded_rng):
     rs = importlib.import_module("glu_tpu.ops.radix_sort")
     assert ps.BLOCK_R == 1024 and ps.CH_ROWS == 72, "constants drifted; update test"
     monkeypatch.setenv("GLU_TPU_PALLAS_INTERPRET", "1")
-    rs._radix_sort_kv.clear_cache()
+    rs._radix_sort_streams.clear_cache()
     try:
         # 2 full sort passes (8 bits): enough to run group+splice at full
         # geometry twice (runs land on fresh boundaries the second pass)
@@ -121,7 +136,7 @@ def test_production_geometry_multiblock(monkeypatch, seeded_rng):
         keys = seeded_rng(31).sample_int_vector(300_000, 0, 0xFFFFFFFE)
         _check(keys, num_steps=2)
     finally:
-        rs._radix_sort_kv.clear_cache()
+        rs._radix_sort_streams.clear_cache()
 
 
 def test_single_maxblock_per_pass_route(tiny_engine, monkeypatch, seeded_rng):
