@@ -137,6 +137,84 @@ def rank16_kernel(k_ref, dest_ref):
     dest_ref[:] = pltpu.bitcast(bo + inrow_own - 1, jnp.uint32)
 
 
+# ------------------------------------------------- D. group4 with MXU cums
+def _split_round_mxucums(k, vs, bit):
+    """The shipped _split_round with _packed4_inrow_cumsum replaced by ONE
+    bf16 triangular matmul (cumZ of a 0/1 row is <= 128: exact in bf16 ->
+    f32 -> i32). Rank16's measurement prices 16 such matmuls + glue at
+    ~50 ps/elem, so one should cost ~3-5 ps vs the packed roll-scan's 18."""
+    R_ = k.shape[0]
+    lanes = _lanes((R_, LANES))
+    rows = _rows((R_, LANES))
+    z = 1 - bit
+    u = _tri_u_bf16()
+    dn = (((1,), (0,)), ((), ()))
+    cumZ = jax.lax.dot_general(
+        z.astype(jnp.bfloat16), u, dn, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+    from glu_tpu.ops._pallas_common import narrow_cumsum_incl
+    c0 = cumZ[:, LANES - 1 : LANES]
+    Zin = narrow_cumsum_incl(c0, R_)
+    Zex = Zin - c0
+    n0 = Zin[R_ - 1, 0]
+    Oex = _rows((R_, 1)) * LANES - Zex
+
+    is_zero_slot = lanes < c0
+    target = jnp.where(is_zero_slot, lanes + 1, lanes - c0 + 1)
+    lo = jnp.zeros((R_, LANES), jnp.int32)
+    step = LANES // 2
+    while step >= 1:
+        mid = lo + step - 1
+        cz = jnp.take_along_axis(cumZ, mid, axis=1)
+        cm = jnp.where(is_zero_slot, cz, mid + 1 - cz)
+        lo = jnp.where(cm < target, lo + step, lo)
+        step //= 2
+    gk = jnp.take_along_axis(k, lo, axis=1)
+    gvs = [jnp.take_along_axis(v, lo, axis=1) for v in vs]
+
+    def route(Fc, base, cnt):
+        rank = (lanes - Fc) & (LANES - 1)
+        src = jnp.clip(base + rank, 0, LANES - 1)
+        rk = jnp.take_along_axis(gk, src, axis=1)
+        rvs = [jnp.take_along_axis(gv, src, axis=1) for gv in gvs]
+        valid = rank < cnt
+        q = (Fc >> 7) + jnp.where(lanes < (Fc & (LANES - 1)), 1, 0)
+        meta = jnp.where(valid, jnp.abs(q - rows), 0)
+        return rk, rvs, meta
+
+    def colshift(rk, rvs, meta, up):
+        s = 1
+        while s < R_:
+            t = (R_ - s) % R_ if up else s
+            rk_s = pltpu.roll(rk, t, axis=0)
+            m_s = pltpu.roll(meta, t, axis=0)
+            arrive = (m_s & s) != 0
+            stay = (meta & s) == 0
+            rk = jnp.where(arrive, rk_s, rk)
+            rvs = [jnp.where(arrive, pltpu.roll(rv, t, axis=0), rv) for rv in rvs]
+            meta = jnp.where(arrive, m_s - s, jnp.where(stay, meta, 0))
+            s *= 2
+        return rk, rvs
+
+    zk, zvs, zmeta = route(Zex, jnp.zeros((R_, 1), jnp.int32), c0)
+    ok_, ovs_, ometa = route(jnp.int32(n0) + Oex, c0, LANES - c0)
+    zk, zvs = colshift(zk, zvs, zmeta, up=True)
+    ok_, ovs_ = colshift(ok_, ovs_, ometa, up=False)
+    sel = (rows * LANES + lanes) < n0
+    out_k = jnp.where(sel, zk, ok_)
+    out_vs = [jnp.where(sel, a, b) for a, b in zip(zvs, ovs_)]
+    return out_k, out_vs
+
+
+def group4_mxu_kernel(k_ref, v_ref, ok_ref, ov_ref):
+    k, vs = k_ref[:], [v_ref[:]]
+    for b in range(4):
+        bit = ((k >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.int32)
+        k, vs = _split_round_mxucums(k, vs, bit)
+    ok_ref[:] = k
+    ov_ref[:] = vs[0]
+
+
 # ---------------------------------------------------------------- C. walk1
 def walk1_kernel(k_ref, m_ref, ok_ref):
     k = k_ref[:]
@@ -221,8 +299,28 @@ def main():
     print(f"B rank16 (MXU 16-way dest):    {t/N*1e12:8.1f} ps/elem   ({t*1e3:.2f} ms)")
 
     f_walk = run_pallas(walk1_kernel, 2, 1, None)
-    t = chain_time(lambda a, b: f_walk(a, b), (k2, m2), iters=8)
+    t = chain_time(lambda a, b: (f_walk(a, b), b), (k2, m2), iters=8)
     print(f"C walk1 (one class walk):      {t/N*1e12:8.1f} ps/elem   ({t*1e3:.2f} ms)")
+
+    # D: correctness vs group4, then timing
+    f_group4mxu = run_pallas(group4_mxu_kernel, 2, 2, None)
+
+    def small2(kernel):
+        spec = pl.BlockSpec((R, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        shape = [jax.ShapeDtypeStruct((2 * R, LANES), jnp.uint32)] * 2
+        return jax.jit(lambda a, b: tuple(pl.pallas_call(
+            kernel, grid=(2,), in_specs=[spec, spec], out_specs=[spec, spec],
+            out_shape=shape,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        )(a, b)))
+
+    ka, va = k2[: 2 * R], v2[: 2 * R]
+    r0 = small2(group4_kernel)(ka, va)
+    r1 = small2(group4_mxu_kernel)(ka, va)
+    same = all((np.asarray(x) == np.asarray(y)).all() for x, y in zip(r0, r1))
+    print(f"D group4-mxucums correctness vs shipped: {'OK' if same else 'MISMATCH'}")
+    t = chain_time(lambda a, b: tuple(f_group4mxu(a, b)), (k2, v2), iters=8)
+    print(f"D group4 w/ MXU cumZ:          {t/N*1e12:8.1f} ps/elem   ({t*1e3:.2f} ms)")
     print()
     print("movement arithmetic: shipped pass = 8 x walk1 (+4x route/search);")
     print("ranked 16-way pass = 16 x walk1 + rank16; run-emission DMA = ")
