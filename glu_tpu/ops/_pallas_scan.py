@@ -62,26 +62,29 @@ def _scan_rows_inclusive(x: jax.Array, combine=jnp.add, identity=0) -> jax.Array
     return x
 
 
-def _tri_u_bf16() -> jax.Array:
-    """U[l, j] = 1.0 if l <= j else 0.0 — the 128x128 upper-triangular ones
-    matrix, built arithmetically (i1 iota-compare masks feeding bf16 matmuls
-    trip a Mosaic relayout bug on this stack)."""
+def _tri_u_bf16(strict: bool = False) -> jax.Array:
+    """U[l, j] = 1.0 if l <= j (or l < j when strict) else 0.0 — the 128x128
+    (strict) upper-triangular ones matrix, built arithmetically (i1
+    iota-compare masks feeding bf16 matmuls trip a Mosaic relayout bug on
+    this stack)."""
     r = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
-    return jnp.clip(c - r + 1, 0, 1).astype(jnp.bfloat16)
+    return jnp.clip(c - r + (0 if strict else 1), 0, 1).astype(jnp.bfloat16)
 
 
-def _mxu_lane_scan_32(x: jax.Array) -> jax.Array:
-    """Inclusive in-row prefix of a (R, 128) u32/i32 tile on the MXU, exact
-    mod 2^32: byte planes are exact in bf16 (<= 255, 8 significant bits),
-    per-plane row prefixes are <= 128*255 = 32640 — exact in the MXU's f32
-    accumulation and in the f32 -> i32 cast — and the shifted recombination
-    wraps in u32 exactly like the scalar sum. Replaces the 7-step lane
-    roll-scan: lane rotates cost ~8x a sublane op (NOTES.md "Measured VPU
-    cost model"), and the matmuls run on the otherwise-idle MXU — measured
-    66.2 -> 52.7 ps/elem at 268M, proto/scan_mxu_lab.py."""
+def _mxu_lane_scan_32(x: jax.Array, strict: bool = False) -> jax.Array:
+    """In-row prefix (inclusive, or EXCLUSIVE when strict) of a (R, 128)
+    u32/i32 tile on the MXU, exact mod 2^32: byte planes are exact in bf16
+    (<= 255, 8 significant bits), per-plane row prefixes are <= 128*255 =
+    32640 — exact in the MXU's f32 accumulation and in the f32 -> i32 cast —
+    and the shifted recombination wraps in u32 exactly like the scalar sum.
+    Replaces the 7-step lane roll-scan: lane rotates cost ~8x a sublane op
+    (NOTES.md "Measured VPU cost model"), and the matmuls run on the
+    otherwise-idle MXU — measured 66.2 -> 52.7 ps/elem at 268M,
+    proto/scan_mxu_lab.py; the strict (exclusive) form drops the full-tile
+    `inc - x` conversion from the scan kernel (proto/scan_phase_lab.py)."""
     xi = pltpu.bitcast(x, jnp.int32) if x.dtype == jnp.uint32 else x
-    u = _tri_u_bf16()
+    u = _tri_u_bf16(strict)
     dn = (((1,), (0,)), ((), ()))
     out = jnp.zeros(x.shape, jnp.uint32)
     for b in range(4):
@@ -92,6 +95,29 @@ def _mxu_lane_scan_32(x: jax.Array) -> jax.Array:
     return out if x.dtype == jnp.uint32 else pltpu.bitcast(out, jnp.int32)
 
 
+def _col_prefix_wide(totals: jax.Array, combine=jnp.add, identity=0):
+    """Inclusive sublane prefix of an (R, 1) column, computed on a
+    lane-REPLICATED (R, 128) copy and sliced back to (R, 1).
+
+    The direct (R, 1) sublane log-scan is pathological on this stack — the
+    narrow layout relayouts per roll step; phase-profiled at +23 ps/elem of
+    the whole block, ~40% of the round-2 scan kernel (proto/scan_phase_lab.py:
+    full4 14.2 ms vs colwide 8.8 ms at 268M). The reshape-to-(R/128, 128)
+    trick (narrow_cumsum_incl) is worse still inside this kernel (23.8 ms).
+    Scanning 128 redundant lane copies costs almost nothing: sublane rolls on
+    a full-width tile run at issue peak."""
+    R = totals.shape[0]
+    wide = jax.lax.broadcast_in_dim(totals, (R, LANES), (0, 1))
+    rows = jax.lax.broadcasted_iota(jnp.int32, wide.shape, 0)
+    ident = jnp.full_like(wide, identity)
+    s = 1
+    while s < R:
+        shifted = pltpu.roll(wide, s, axis=0)
+        wide = combine(wide, jnp.where(rows >= s, shifted, ident))
+        s *= 2
+    return wide[:, 0:1]
+
+
 def tile_inclusive_rowmajor(x: jax.Array, op: ReduceOperator = ReduceOperator.SUM) -> jax.Array:
     """Inclusive scan of a (R, 128) tile in row-major element order."""
     if op == ReduceOperator.SUM:
@@ -100,11 +126,7 @@ def tile_inclusive_rowmajor(x: jax.Array, op: ReduceOperator = ReduceOperator.SU
         else:
             inc = _scan_lanes_inclusive(x)
         totals = inc[:, LANES - 1 : LANES]  # (R, 1) row sums
-        # measured (proto/scan_lab.py, 268M on v5e): the sublane log-scan of
-        # the (R, 1) column beats narrow_cumsum_incl here at every block size
-        # (the (R,1)->(R/128,128) reshape relayout costs more than full-width
-        # saves in this kernel, unlike in the sort where the narrow scan won)
-        row_prefix = _scan_rows_inclusive(totals) - totals
+        row_prefix = _col_prefix_wide(totals) - totals
         return inc + row_prefix
     combine = combine_fn(op)
     identity = identity_for(op, x.dtype)
@@ -112,7 +134,7 @@ def tile_inclusive_rowmajor(x: jax.Array, op: ReduceOperator = ReduceOperator.SU
     totals = inc[:, LANES - 1 : LANES]
     # exclusive row prefix without inversion: roll the inclusive row totals
     # down one sublane and seed row 0 with the identity
-    tot_inc = _scan_rows_inclusive(totals, combine, identity)
+    tot_inc = _col_prefix_wide(totals, combine, identity)
     rows = jax.lax.broadcasted_iota(jnp.int32, totals.shape, 0)
     row_prefix = jnp.where(rows == 0, jnp.full_like(totals, identity), pltpu.roll(tot_inc, 1, axis=0))
     return combine(inc, row_prefix)
@@ -154,8 +176,20 @@ def _scan_kernel(dtype, op: ReduceOperator, block_rows: int):
             carry_ref[0] = jnp.full((), identity, work_dtype)
 
         x = to_work(x_ref[0])
-        inc = tile_inclusive_rowmajor(x, op)
         carry = carry_ref[0]
+        if op == ReduceOperator.SUM and x.dtype in (jnp.uint32, jnp.int32):
+            # strict-U MXU form: the matmuls emit the EXCLUSIVE in-row prefix
+            # directly, dropping the full-tile `inc - x` conversion; row
+            # totals recover from exc[:, -1] + x[:, -1]
+            # (proto/scan_phase_lab.py "best": 14.2 -> 8.2 ms at 268M)
+            exc_inrow = _mxu_lane_scan_32(x, strict=True)
+            totals = exc_inrow[:, LANES - 1 : LANES] + x[:, LANES - 1 : LANES]
+            tot_inc = _col_prefix_wide(totals)
+            exc = exc_inrow + (tot_inc - totals) + carry
+            o_ref[0] = from_work(exc)
+            carry_ref[0] = carry + tot_inc[block_rows - 1, 0]
+            return
+        inc = tile_inclusive_rowmajor(x, op)
         if op == ReduceOperator.SUM:
             exc = inc - x + carry
         else:
@@ -184,10 +218,10 @@ def pallas_exclusive_scan(
     dtype = x.dtype
     part = n // num_partitions
     rows0 = cdiv(part, LANES)
-    # 512-row blocks: at 256 rows a 268M scan runs 8192 sequential grid
-    # steps and per-step overhead eats ~17% (proto/scan_lab.py: 21.4 ms at
-    # 256 rows vs 17.8 at 512 and 18.0 at 1024 for 268M)
-    block_rows = pick_block_rows(rows0, max_rows=512)
+    # 1024-row blocks: with the wide column prefix the block-size sweep at
+    # 268M reads 256: 10.3 ms, 512: 8.5, 1024: 8.2 (proto/scan_phase_lab.py
+    # "best"; round 2's 512 choice predates the colwide fix)
+    block_rows = pick_block_rows(rows0, max_rows=1024)
     rows = round_up(max(rows0, 1), block_rows)
     padded_part = rows * LANES
     num_blocks = rows // block_rows

@@ -56,7 +56,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ._pallas_common import interpret_mode, narrow_cumsum_incl
+from ._pallas_common import interpret_mode, narrow_cumsum_incl  # noqa: F401 — narrow_cumsum_incl
+# is re-exported for the proto/ measurement labs; the engine itself now uses
+# _col_prefix_wide (see below) after the round-3 colwide discovery.
 from ..utils.log import vlog
 from .radix_sort import RADIX_BITS
 
@@ -107,6 +109,23 @@ def _col_cumsum_incl(x, rows_n):
     return x
 
 
+def _col_prefix_wide(col, rows_n):
+    """Inclusive sublane prefix of an (R, 1) column via a lane-REPLICATED
+    (R, 128) scan, sliced back to (R, 1). Narrow-layout sublane scans are
+    pathological on this stack (each roll step relayouts; the reshape trick
+    in narrow_cumsum_incl is no better inside a big kernel): swapping this
+    in for the split's Zin scan measured 789 -> 587 ps/elem per 4-bit group
+    pass at R=1024 (proto/rank16_lab.py variant E) — the same colwide fix
+    that took the scan kernel from 14.2 to 8.2 ms at 268M."""
+    wide = jax.lax.broadcast_in_dim(col, (rows_n, LANES), (0, 1))
+    rows = jax.lax.broadcasted_iota(jnp.int32, wide.shape, 0)
+    s = 1
+    while s < rows_n:
+        wide = wide + jnp.where(rows >= s, pltpu.roll(wide, s, axis=0), 0)
+        s *= 2
+    return wide[:, 0:1]
+
+
 def _packed4_inrow_cumsum(z):
     """Inclusive in-row cumsum of an (R,128) 0/1 array, 4 rows at a time:
     rows r, r+R/4, r+R/2, r+3R/4 pack into one u32's byte fields (row sums
@@ -139,7 +158,7 @@ def _split_round(k, vs, bit):
     z = 1 - bit
     cumZ = _packed4_inrow_cumsum(z)               # inclusive zeros per row
     c0 = cumZ[:, LANES - 1 : LANES]               # (R,1)
-    Zin = narrow_cumsum_incl(c0, R)
+    Zin = _col_prefix_wide(c0, R)
     Zex = Zin - c0                                # zeros before this row
     n0 = Zin[R - 1, 0]                            # total zeros
     Oex = _rows((R, 1)) * LANES - Zex             # ones before this row

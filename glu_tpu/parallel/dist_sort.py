@@ -298,13 +298,127 @@ def _exchange_and_sort(arrays, fills, counts, offsets, local_sort, *,
     return out, count, overflow
 
 
+def _exchange_and_sort_chunked(
+    keys_etc, fills, bucket, local_sort, *, axis_name, num_devices, capacity,
+    recv_capacity, exchange, backend, num_chunks
+):
+    """Overlapped (chunked) form of partition + exchange + sort (SURVEY §7
+    step 7 / BASELINE north star: "overlap exchange with compute").
+
+    The local shard is cut into `num_chunks` adjacent chunks; each chunk is
+    partitioned and exchanged INDEPENDENTLY. Chunk c's all_to_all depends
+    only on chunk c's partition, so XLA's latency-hiding scheduler is free
+    to run chunk c+1's partition (radix-engine work) underneath chunk c's
+    ICI transfer — the sequential path serializes them by construction. The
+    final local sort is the unavoidable barrier (it needs every received
+    element); what the pipeline hides is the partition + exchange-staging
+    work of all chunks after the first.
+
+    Ordering/stability: global order is (key, global index); source s's
+    chunk c covers smaller indices than its chunk c+1, so received blocks
+    are placed in (source-major, chunk-minor) order — the padded path
+    compacts with one dynamic_update_slice per (s, c) block, the ragged
+    path computes output offsets directly in that final layout (no
+    compaction at all). Overflow semantics match the sequential path: the
+    per-(src,dst) chunk capacity is `capacity`/num_chunks-scaled by the
+    caller, and the receiver budget check is the same recv_capacity clamp.
+    """
+    n = keys_etc[0].shape[0]
+    nl = n // num_chunks
+    me = jax.lax.axis_index(axis_name)
+    chunk_parts = []
+    for c in range(num_chunks):
+        b_c = jax.lax.dynamic_slice(bucket, (c * nl,), (nl,))
+        arrs_c = [jax.lax.dynamic_slice(a, (c * nl,), (nl,)) for a in keys_etc]
+        chunk_parts.append(_partition_by_bucket(b_c, arrs_c, num_devices, backend))
+
+    if exchange == "ragged":
+        # per-chunk counts -> (D src, C, D dst) global tensor -> direct
+        # placement offsets in (src-major, chunk-minor) receive order. The C
+        # ragged exchanges are chained through the one output buffer (each
+        # writes a disjoint region, but the functional dependency serializes
+        # the transfers); the send-side partition work still pipelines ahead.
+        counts_mat = jnp.stack([p[1] for p in chunk_parts])          # (C, D)
+        counts_all = jax.lax.all_gather(counts_mat, axis_name)       # (D, C, D)
+        flat = counts_all.reshape(num_devices * num_chunks, num_devices)
+        starts_flat = jnp.cumsum(flat, axis=0) - flat                # (D*C, D dst)
+        total_recv = jnp.sum(flat[:, me])
+        overflow = total_recv > recv_capacity
+        starts_c = jnp.minimum(starts_flat, recv_capacity)
+        counts_c = jnp.minimum(flat, recv_capacity - starts_c)
+        outs = [jnp.full((recv_capacity,), fill, dtype=jnp.uint32) for fill in fills]
+        for c in range(num_chunks):
+            arrs_c, _, offs_c = chunk_parts[c]
+            row = me * num_chunks + c
+            output_offsets = starts_c[row]
+            send_sizes = counts_c[row]
+            recv_rows = jnp.arange(num_devices) * num_chunks + c
+            recv_sizes = counts_c[recv_rows, me]
+            outs = [
+                jax.lax.ragged_all_to_all(
+                    a, o, offs_c, send_sizes, output_offsets, recv_sizes,
+                    axis_name=axis_name,
+                )
+                for a, o in zip(arrs_c, outs)
+            ]
+        compacted, count = outs, total_recv
+    else:
+        received_chunks = []
+        sent_chunks = []
+        overflow = jnp.zeros((), jnp.bool_)
+        for c in range(num_chunks):
+            arrs_c, counts_c, offs_c = chunk_parts[c]
+            padded_c, sent_c, ovf_c = _spread_to_padded(
+                arrs_c, fills, counts_c, offs_c, num_devices, capacity
+            )
+            received_chunks.append(
+                [jax.lax.all_to_all(p, axis_name, 0, 0) for p in padded_c]
+            )
+            sent_chunks.append(
+                jax.lax.all_to_all(sent_c.reshape(num_devices, 1), axis_name, 0, 0).reshape(-1)
+            )
+            overflow = overflow | ovf_c
+        # (s-major, c-minor) placement offsets from the (C, D src) recv counts
+        rc = jnp.stack(sent_chunks)                                  # (C, D src)
+        flat = rc.T.reshape(-1)                                      # (D*C,) in (s, c) order
+        roff = jnp.cumsum(flat) - flat
+        count = jnp.sum(flat)
+        outs = []
+        for i, fill in enumerate(fills):
+            out = jnp.full((recv_capacity + capacity,), fill, dtype=jnp.uint32)
+            for s in range(num_devices):
+                for c in range(num_chunks):
+                    out = jax.lax.dynamic_update_slice(
+                        out, received_chunks[c][i][s], (roff[s * num_chunks + c],)
+                    )
+            outs.append(out[:recv_capacity])
+        overflow = overflow | (count > recv_capacity)
+        compacted = outs
+    out = list(local_sort(*compacted))
+    pos = jnp.arange(recv_capacity, dtype=jnp.int32)
+    for i, fill in enumerate(fills):
+        if fill == _PAD_KEY:
+            out[i] = jnp.where(pos < count, out[i], jnp.uint32(_PAD_KEY))
+    return out, count, overflow
+
+
 def _dist_sort_shard(
     keys, values, *, axis_name, num_devices, capacity, recv_capacity,
-    num_samples, backend, exchange
+    num_samples, backend, exchange, num_chunks=1
 ):
     """Per-shard body (runs under shard_map; keys/values are the local shard)."""
     sk, si = _sample_splitters(keys, axis_name, num_devices, num_samples)
     bucket = _bucket_of(keys, axis_name, sk, si)
+    if num_chunks > 1 and num_devices > 1:
+        out, count, overflow = _exchange_and_sort_chunked(
+            [keys, values], [_PAD_KEY, 0], bucket,
+            lambda k, v: radix_sort(k, v, backend=backend),
+            axis_name=axis_name, num_devices=num_devices, capacity=capacity,
+            recv_capacity=recv_capacity, exchange=exchange, backend=backend,
+            num_chunks=num_chunks,
+        )
+        any_overflow = jax.lax.pmax(overflow.astype(jnp.int32), axis_name)
+        return out[0], out[1], count[None], any_overflow[None]
     arrays, counts, offsets = _partition_by_bucket(
         bucket, [keys, values], num_devices, backend
     )
@@ -326,11 +440,21 @@ def _dist_sort_shard(
 
 def _dist_sort_shard64(
     hi, lo, values, *, axis_name, num_devices, capacity, recv_capacity,
-    num_samples, backend, exchange
+    num_samples, backend, exchange, num_chunks=1
 ):
     """Per-shard body for 64-bit keys given as (hi, lo) u32 halves."""
     shi, slo, sidx = _sample_splitters64(hi, lo, axis_name, num_devices, num_samples)
     bucket = _bucket_of64(hi, lo, axis_name, shi, slo, sidx)
+    if num_chunks > 1 and num_devices > 1:
+        out, count, overflow = _exchange_and_sort_chunked(
+            [hi, lo, values], [_PAD_KEY, _PAD_KEY, 0], bucket,
+            lambda h, l, v: radix_sort_u64_parts(h, l, v, backend=backend),
+            axis_name=axis_name, num_devices=num_devices, capacity=capacity,
+            recv_capacity=recv_capacity, exchange=exchange, backend=backend,
+            num_chunks=num_chunks,
+        )
+        any_overflow = jax.lax.pmax(overflow.astype(jnp.int32), axis_name)
+        return out[0], out[1], out[2], count[None], any_overflow[None]
     arrays, counts, offsets = _partition_by_bucket(
         bucket, [hi, lo, values], num_devices, backend
     )
@@ -387,6 +511,7 @@ def distributed_radix_sort(
     exchange: str = "padded",
     max_retries: int = 3,
     descending: bool = False,
+    pipeline_chunks: int = 1,
 ):
     """Globally sort sharded u32 (key, value) pairs across `mesh`.
 
@@ -418,6 +543,15 @@ def distributed_radix_sort(
     capacity, not the sort length). With one device both factors are ignored
     and the sort is exact (n_local slots, no exchange).
 
+    pipeline_chunks > 1 cuts each shard into that many adjacent chunks,
+    partitioned and exchanged independently so XLA's latency-hiding
+    scheduler can overlap chunk c's ICI exchange with chunk c+1's partition
+    work (SURVEY §7 step 7; the final local sort remains the barrier).
+    Requires the local shard length divisible by pipeline_chunks. The
+    per-(src,dst) block capacity applies PER CHUNK, so block-level skew
+    tolerance scales with capacity_factor exactly as in the sequential
+    path (chunked blocks are 1/pipeline_chunks the size).
+
     Overflow handling is LOSSLESS for max_retries > 0: inputs are never
     donated, so when an attempt reports overflow the sort is simply re-run
     with both factors doubled (a fresh XLA program; the failed attempt's
@@ -437,16 +571,30 @@ def distributed_radix_sort(
         num_devices,
     )
     local_n = keys.shape[0] // num_devices
+    chunks = int(pipeline_chunks)
+    check_argument(chunks >= 1, "pipeline_chunks must be >= 1")
+    check_argument(
+        local_n % chunks == 0,
+        "local shard length %d not divisible by pipeline_chunks=%d",
+        local_n, chunks,
+    )
     if descending:
         keys = ~keys  # bitwise NOT reverses u32 order; stability is preserved
 
     def attempt(mult: float):
         capacity, recv_capacity = _attempt_capacities(
-            mult, capacity_factor, recv_capacity_factor, local_n, num_devices
+            mult, capacity_factor, recv_capacity_factor,
+            local_n // chunks if chunks > 1 else local_n, num_devices
         )
+        if chunks > 1:
+            # _attempt_capacities sized the per-chunk block; the receiver
+            # budget spans the WHOLE shard
+            _, recv_capacity = _attempt_capacities(
+                mult, capacity_factor, recv_capacity_factor, local_n, num_devices
+            )
         fn = _dist_fn_u32(
             mesh, axis_name, num_devices, capacity, recv_capacity,
-            min(num_samples, local_n), backend, exchange,
+            min(num_samples, local_n), backend, exchange, chunks,
         )
         return fn(keys, values)
 
@@ -458,7 +606,7 @@ def distributed_radix_sort(
 
 @lru_cache(maxsize=128)
 def _dist_fn_u32(mesh, axis_name, num_devices, capacity, recv_capacity,
-                 num_samples, backend, exchange):
+                 num_samples, backend, exchange, num_chunks=1):
     """Cached jitted shard_map program for the u32 pipeline. A fresh
     partial + jax.jit per call has a new function identity, so jit's own
     cache never hits and EVERY invocation recompiles the whole program —
@@ -477,6 +625,7 @@ def _dist_fn_u32(mesh, axis_name, num_devices, capacity, recv_capacity,
         num_samples=num_samples,
         backend=backend,
         exchange=exchange,
+        num_chunks=num_chunks,
     )
     return jax.jit(
         jax.shard_map(
@@ -491,7 +640,7 @@ def _dist_fn_u32(mesh, axis_name, num_devices, capacity, recv_capacity,
 
 @lru_cache(maxsize=128)
 def _dist_fn_u64(mesh, axis_name, num_devices, capacity, recv_capacity,
-                 num_samples, backend, exchange):
+                 num_samples, backend, exchange, num_chunks=1):
     """Cached jitted shard_map program for the (hi, lo) 64-bit pipeline."""
     spec = jax.sharding.PartitionSpec(axis_name)
     body = partial(
@@ -503,6 +652,7 @@ def _dist_fn_u64(mesh, axis_name, num_devices, capacity, recv_capacity,
         num_samples=num_samples,
         backend=backend,
         exchange=exchange,
+        num_chunks=num_chunks,
     )
     return jax.jit(
         jax.shard_map(
@@ -598,6 +748,7 @@ def distributed_radix_sort_u64_parts(
     exchange: str = "padded",
     max_retries: int = 3,
     descending: bool = False,
+    pipeline_chunks: int = 1,
 ):
     """Globally sort sharded 64-bit keys given as (hi, lo) u32 halves, with
     u32 values, across `mesh` — the distributed form of the single-chip
@@ -625,16 +776,28 @@ def distributed_radix_sort_u64_parts(
         num_devices,
     )
     local_n = keys_hi.shape[0] // num_devices
+    chunks = int(pipeline_chunks)
+    check_argument(chunks >= 1, "pipeline_chunks must be >= 1")
+    check_argument(
+        local_n % chunks == 0,
+        "local shard length %d not divisible by pipeline_chunks=%d",
+        local_n, chunks,
+    )
     if descending:
         keys_hi, keys_lo = ~keys_hi, ~keys_lo  # complementing both words reverses u64 order
 
     def attempt(mult: float):
         capacity, recv_capacity = _attempt_capacities(
-            mult, capacity_factor, recv_capacity_factor, local_n, num_devices
+            mult, capacity_factor, recv_capacity_factor,
+            local_n // chunks if chunks > 1 else local_n, num_devices
         )
+        if chunks > 1:
+            _, recv_capacity = _attempt_capacities(
+                mult, capacity_factor, recv_capacity_factor, local_n, num_devices
+            )
         fn = _dist_fn_u64(
             mesh, axis_name, num_devices, capacity, recv_capacity,
-            min(num_samples, local_n), backend, exchange,
+            min(num_samples, local_n), backend, exchange, chunks,
         )
         return fn(keys_hi, keys_lo, values)
 

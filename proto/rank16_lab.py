@@ -215,6 +215,34 @@ def group4_mxu_kernel(k_ref, v_ref, ok_ref, ov_ref):
     ov_ref[:] = vs[0]
 
 
+# --------------------------------------- E. group4 with WIDE Zin column scan
+def _col_prefix_wide(totals, R_):
+    wide = jax.lax.broadcast_in_dim(totals, (R_, LANES), (0, 1))
+    rows = jax.lax.broadcasted_iota(jnp.int32, wide.shape, 0)
+    s = 1
+    while s < R_:
+        wide = wide + jnp.where(rows >= s, pltpu.roll(wide, s, axis=0), 0)
+        s *= 2
+    return wide[:, 0:1]
+
+
+def group4_widezin_kernel(k_ref, v_ref, ok_ref, ov_ref):
+    """Shipped split but Zin = lane-replicated wide column scan instead of
+    narrow_cumsum_incl — the scan kernel's colwide discovery applied to the
+    sort's per-split (R,1) zero-count scan."""
+    import glu_tpu.ops._pallas_common as pc
+
+    orig = pc.narrow_cumsum_incl
+    try:
+        pc_narrow = lambda col, rows_n: _col_prefix_wide(col, rows_n)
+        ps.narrow_cumsum_incl = pc_narrow
+        k, vs = ps._group_block(k_ref[:], [v_ref[:]], jnp.uint32(0))
+    finally:
+        ps.narrow_cumsum_incl = orig
+    ok_ref[:] = k
+    ov_ref[:] = vs[0]
+
+
 # ---------------------------------------------------------------- C. walk1
 def walk1_kernel(k_ref, m_ref, ok_ref):
     k = k_ref[:]
@@ -321,6 +349,14 @@ def main():
     print(f"D group4-mxucums correctness vs shipped: {'OK' if same else 'MISMATCH'}")
     t = chain_time(lambda a, b: tuple(f_group4mxu(a, b)), (k2, v2), iters=8)
     print(f"D group4 w/ MXU cumZ:          {t/N*1e12:8.1f} ps/elem   ({t*1e3:.2f} ms)")
+
+    # E: wide Zin column scan
+    f_gw = run_pallas(group4_widezin_kernel, 2, 2, None)
+    rw = small2(group4_widezin_kernel)(ka, va)
+    same = all((np.asarray(x) == np.asarray(y)).all() for x, y in zip(r0, rw))
+    print(f"E group4-widezin correctness vs shipped: {'OK' if same else 'MISMATCH'}")
+    t = chain_time(lambda a, b: tuple(f_gw(a, b)), (k2, v2), iters=8)
+    print(f"E group4 w/ wide Zin scan:     {t/N*1e12:8.1f} ps/elem   ({t*1e3:.2f} ms)")
     print()
     print("movement arithmetic: shipped pass = 8 x walk1 (+4x route/search);")
     print("ranked 16-way pass = 16 x walk1 + rank16; run-emission DMA = ")

@@ -336,3 +336,73 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_dist_sort_pipeline_chunks(seeded_rng):
+    # chunked overlap pipeline (padded path): per-chunk partitions +
+    # independent exchanges + (src-major, chunk-minor) compaction
+    rng = seeded_rng(71)
+    _run(rng.sample_int_vector(8 * 2048, 0, 0xFFFFFFFE), pipeline_chunks=4)
+
+
+def test_dist_sort_pipeline_chunks_skewed(seeded_rng):
+    # zipf-ish skew + chunking: chunk-level blocks are 1/4 size, so skew
+    # tolerance must come from the same lossless doubling retry
+    rng = seeded_rng(73)
+    raw = rng.sample_int_vector(8 * 2048, 0, 0xFFFFFFFE)
+    keys = (raw % np.uint32(1 << 8)).astype(np.uint32) * np.uint32(3)
+    _run(keys, pipeline_chunks=4)
+
+
+def test_dist_sort_pipeline_chunks_presorted():
+    # range-correlated input concentrates whole chunks into single blocks:
+    # exercises chunked overflow + retry
+    _run(np.arange(8 * 2048, dtype=np.uint32), pipeline_chunks=2)
+
+
+def test_dist_sort_pipeline_chunks_pallas(seeded_rng, monkeypatch):
+    monkeypatch.setenv("GLU_TPU_PALLAS_INTERPRET", "1")
+    rng = seeded_rng(79)
+    _run(rng.sample_int_vector(8 * 1024, 0, 0xFFFFFFFE), backend="pallas",
+         pipeline_chunks=2)
+
+
+def test_dist_sort_pipeline_chunks_u64(seeded_rng):
+    # chunked pipeline through the 3-payload (hi, lo, value) body
+    rng = seeded_rng(83)
+    n = 8 * 1024
+    hi = rng.sample_int_vector(n, 0, 3)
+    lo = rng.sample_int_vector(n, 0, 0xFFFFFFFE)
+    vals = np.arange(n, dtype=np.uint32)
+    mesh = make_sort_mesh(jax.devices()[:8])
+    spec = jax.sharding.PartitionSpec("shards")
+    sharding = jax.sharding.NamedSharding(mesh, spec)
+    oh, ol, ov, counts, overflow = distributed_radix_sort_u64_parts(
+        jax.device_put(jnp.asarray(hi), sharding),
+        jax.device_put(jnp.asarray(lo), sharding),
+        jax.device_put(jnp.asarray(vals), sharding),
+        mesh,
+        pipeline_chunks=2,
+    )
+    assert int(np.asarray(overflow)[0]) == 0
+    key64 = (hi.astype(np.uint64) << 32) | lo
+    order = np.argsort(key64, kind="stable")
+    oh, ol, ov, counts = map(np.asarray, (oh, ol, ov, counts))
+    per = oh.shape[0] // 8
+    gh, gl, gv = [], [], []
+    for d in range(8):
+        c = int(counts[d])
+        gh.append(oh[d * per : d * per + c])
+        gl.append(ol[d * per : d * per + c])
+        gv.append(ov[d * per : d * per + c])
+    np.testing.assert_array_equal(np.concatenate(gh), hi[order])
+    np.testing.assert_array_equal(np.concatenate(gl), lo[order])
+    np.testing.assert_array_equal(np.concatenate(gv), vals[order].astype(np.uint32))
+
+
+def test_dist_sort_pipeline_chunks_bad_divisibility():
+    mesh = make_sort_mesh(jax.devices()[:8])
+    k = jnp.zeros(8 * 100, jnp.uint32)
+    v = jnp.zeros(8 * 100, jnp.uint32)
+    with pytest.raises(GluArgumentError):
+        distributed_radix_sort(k, v, mesh, pipeline_chunks=3)
