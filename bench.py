@@ -269,7 +269,10 @@ def _make_dist_keys(n, dist, seed=9):
     if dist == "presorted":
         return jnp.arange(n, dtype=jnp.uint32)
     if dist == "reverse":
-        return jnp.arange(n, 0, -1, dtype=jnp.uint32)
+        # NOT jnp.arange(n, 0, -1): a negative-step arange materializes on
+        # the HOST and the ~1 GB H2D transfer through the tunnel (~20 s)
+        # lands inside the timed region — CHECK_r02/r03's "reverse flake"
+        return jnp.uint32(n) - jnp.arange(n, dtype=jnp.uint32)
     if dist == "lowentropy":
         return _rand_u32(n, seed) % jnp.uint32(10)
     raise ValueError(dist)
@@ -317,8 +320,19 @@ def _device_verify(in_keys, out_k, out_v):
 
 def run_checks(n, backend):
     """BASELINE.json config battery: 268M-scale sorts across uniform,
-    pre-sorted, reverse, and low-entropy keys, verified on-device."""
+    pre-sorted, reverse, and low-entropy keys, verified on-device.
+
+    One untimed warm-up sort + verify first: every distribution shares the
+    same shapes, so this pays ALL compiles (sort program + verifier) before
+    any timed row — CHECK_r02's first row famously read 30× below steady
+    state because it ran cold."""
     import numpy as np
+
+    wk = _rand_u32(n, 11)
+    wv = jnp.arange(n, dtype=jnp.uint32)
+    ok_w, ov_w = radix_sort(jnp.copy(wk), wv, backend=backend)
+    bool(np.asarray(_device_verify(wk, ok_w, ov_w)))
+    del wk, wv, ok_w, ov_w
 
     for dist in ("uniform", "presorted", "reverse", "lowentropy"):
         keys = _make_dist_keys(n, dist)
