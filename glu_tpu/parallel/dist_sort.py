@@ -582,11 +582,16 @@ def distributed_radix_sort(
         keys = ~keys  # bitwise NOT reverses u32 order; stability is preserved
 
     def attempt(mult: float):
+        # the chunked pipeline only engages on real meshes (the shard body
+        # falls back to the sequential path at D == 1, so capacities must be
+        # sized for it — a per-chunk block capacity at D == 1 would overflow
+        # unconditionally)
+        eff_chunks = chunks if num_devices > 1 else 1
         capacity, recv_capacity = _attempt_capacities(
             mult, capacity_factor, recv_capacity_factor,
-            local_n // chunks if chunks > 1 else local_n, num_devices
+            local_n // eff_chunks, num_devices
         )
-        if chunks > 1:
+        if eff_chunks > 1:
             # _attempt_capacities sized the per-chunk block; the receiver
             # budget spans the WHOLE shard
             _, recv_capacity = _attempt_capacities(
@@ -787,11 +792,12 @@ def distributed_radix_sort_u64_parts(
         keys_hi, keys_lo = ~keys_hi, ~keys_lo  # complementing both words reverses u64 order
 
     def attempt(mult: float):
+        eff_chunks = chunks if num_devices > 1 else 1
         capacity, recv_capacity = _attempt_capacities(
             mult, capacity_factor, recv_capacity_factor,
-            local_n // chunks if chunks > 1 else local_n, num_devices
+            local_n // eff_chunks, num_devices
         )
-        if chunks > 1:
+        if eff_chunks > 1:
             _, recv_capacity = _attempt_capacities(
                 mult, capacity_factor, recv_capacity_factor, local_n, num_devices
             )

@@ -81,19 +81,21 @@ def main():
         )
         lasts = jnp.max(jnp.where(valid, k2, 0), axis=1)
         firsts = k2[:, 0]
-        nonempty = counts > 0
-        bound_ok = jnp.all(
-            jnp.where(nonempty[1:] & nonempty[:-1], firsts[1:] >= lasts[:-1], True)
-        )
+        # boundary comparison happens on HOST: slicing the sharded (D,)
+        # firsts/lasts along the mesh axis is not implemented by XLA
         return (
             sorted_ok,
-            bound_ok,
+            firsts,
+            lasts,
             jnp.sum(kz, dtype=jnp.uint32),
             jnp.sum(jnp.where(valid, mix(k2, jnp.uint32(0)), 0), dtype=jnp.uint32),
             jnp.sum(jnp.where(valid, mix(k2, v2), 0), dtype=jnp.uint32),
         )
 
-    so, bo, os_, om, op_ = jax.device_get(out_checks(out_k, out_v, counts))
+    so, firsts, lasts, os_, om, op_ = jax.device_get(out_checks(out_k, out_v, counts))
+    firsts, lasts = np.asarray(firsts), np.asarray(lasts)
+    ne = counts_h > 0
+    bo = bool(np.all((firsts[1:] >= lasts[:-1]) | ~(ne[1:] & ne[:-1])))
     ok = (
         ovf == 0
         and int(counts_h.sum()) == N

@@ -232,6 +232,8 @@ def test_dist_sort_u64_parts(seeded_rng):
 
 
 def test_dist_sort_u64_descending(seeded_rng):
+    if not jax.config.jax_enable_x64:
+        pytest.skip("u64 dtype requires jax_enable_x64")
     mesh = make_sort_mesh(jax.devices()[:4])
     rng = seeded_rng(11)
     n = 4 * 512

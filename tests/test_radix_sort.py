@@ -236,7 +236,12 @@ def test_sort_u64_parts(backend, seeded_rng):
 
 
 def test_sort_u64(backend, seeded_rng):
-    # u64 dtype form (x64 is enabled by conftest)
+    # u64 dtype form (x64 is enabled by conftest on the CPU platform; the
+    # real-TPU suite run leaves x64 off — use radix_sort_u64_parts there)
+    import jax
+
+    if not jax.config.jax_enable_x64:
+        pytest.skip("u64 dtype requires jax_enable_x64")
     from glu_tpu import radix_sort_u64
 
     rng = seeded_rng(32)
