@@ -50,18 +50,6 @@ def _scan_lanes_inclusive(x: jax.Array, combine=jnp.add, identity=0) -> jax.Arra
     return x
 
 
-def _scan_rows_inclusive(x: jax.Array, combine=jnp.add, identity=0) -> jax.Array:
-    """Inclusive scan along the sublane (second-minor) axis, same scheme."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
-    ident = jnp.full_like(x, identity)
-    s = 1
-    while s < x.shape[-2]:
-        shifted = pltpu.roll(x, s, axis=x.ndim - 2)
-        x = combine(x, jnp.where(rows >= s, shifted, ident))
-        s *= 2
-    return x
-
-
 def _tri_u_bf16(strict: bool = False) -> jax.Array:
     """U[l, j] = 1.0 if l <= j (or l < j when strict) else 0.0 — the 128x128
     (strict) upper-triangular ones matrix, built arithmetically (i1
