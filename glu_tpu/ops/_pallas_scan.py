@@ -206,10 +206,12 @@ def pallas_exclusive_scan(
     dtype = x.dtype
     part = n // num_partitions
     rows0 = cdiv(part, LANES)
-    # 1024-row blocks: with the wide column prefix the block-size sweep at
-    # 268M reads 256: 10.3 ms, 512: 8.5, 1024: 8.2 (proto/scan_phase_lab.py
-    # "best"; round 2's 512 choice predates the colwide fix)
-    block_rows = pick_block_rows(rows0, max_rows=1024)
+    # 2048-row blocks: with the wide column prefix the block-size sweep at
+    # 268M reads 256: 10.3 ms, 512: 8.5, 1024: 8.2, 2048: 7.6, 4096: 7.6 —
+    # within ~2% of the same-geometry in-kernel copy floor (7.4 ms), i.e.
+    # DMA-bound (proto/scan_phase_lab.py "best"; round 2's 512 predates the
+    # colwide fix)
+    block_rows = pick_block_rows(rows0, max_rows=2048)
     rows = round_up(max(rows0, 1), block_rows)
     padded_part = rows * LANES
     num_blocks = rows // block_rows
