@@ -517,12 +517,34 @@ def _run_descriptors(counts, R):
     return srcs.astype(jnp.int32), dsts.astype(jnp.int32), lens.astype(jnp.int32)
 
 
+# SMEM budget for the splice run descriptors (srcs/dsts/lens are scalar
+# SMEM inputs; the space is ~1 MB — R=256 at 268M and R=1024 at 805M both
+# hit "Ran out of memory in memory space smem" before this bound existed)
+_DESC_SMEM_BUDGET = 768 * 1024
+
+
+def _desc_bytes(rows: int, r: int) -> int:
+    return -(-rows // r) * FIELDS * 3 * 4
+
+
 def _choose_block_rows(n: int) -> int:
     """Pick the block height: smallest power-of-two row count whose block
-    covers n, capped at BLOCK_R (VMEM budget)."""
+    covers n, capped at BLOCK_R (VMEM budget) for mid sizes.
+
+    Large inputs refine the cap in both directions, bounded by the splice
+    descriptor SMEM budget: 512-row blocks walk one fewer sublane step per
+    split (~2% whole-sort, measured 194.5 -> 198.7 M keys/s at 268M) and
+    are preferred while their descriptors fit; beyond that the height
+    DOUBLES past BLOCK_R (runs longer than CH_ROWS take the splicer's
+    serial extra-chunk path — slower, but these sizes previously failed to
+    compile outright)."""
     rows = max(8, -(-n // LANES))
     r = 8
     while r < rows and r < BLOCK_R:
+        r *= 2
+    if r == BLOCK_R and BLOCK_R > 512 and _desc_bytes(rows, 512) <= _DESC_SMEM_BUDGET:
+        return 512
+    while _desc_bytes(rows, r) > _DESC_SMEM_BUDGET:
         r *= 2
     return r
 
