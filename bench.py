@@ -217,7 +217,7 @@ def full_table(backend):
         print(f"{n:>12} {_fmt_ms(t)}  {n / t / 1e6:8.1f} M keys/s")
 
 
-def bench_dist(n, backend, reps=2, capacity_factor=1.5, exchange="padded"):
+def bench_dist(n, backend, reps=2, capacity_factor=1.5, exchange="padded", pipeline_chunks=1):
     """Distributed sort throughput + scaling efficiency over all local
     devices (the BASELINE.json multi-host metric; on a pod slice run this
     per-host under jax.distributed)."""
@@ -237,7 +237,7 @@ def bench_dist(n, backend, reps=2, capacity_factor=1.5, exchange="padded"):
     def run():
         return distributed_radix_sort(
             keys, vals, mesh, backend=backend, capacity_factor=capacity_factor,
-            exchange=exchange,
+            exchange=exchange, pipeline_chunks=pipeline_chunks,
         )
 
     _sync(run())
@@ -257,6 +257,7 @@ def bench_dist(n, backend, reps=2, capacity_factor=1.5, exchange="padded"):
                 "unit": "keys/s",
                 "devices": d,
                 "exchange": exchange,
+                "pipeline_chunks": pipeline_chunks,
                 "scaling_efficiency_vs_1dev": round(eff, 3),
             }
         )
@@ -363,6 +364,9 @@ def main():
     ap.add_argument("--exchange", default="padded", choices=["padded", "ragged"],
                     help="bucket exchange implementation for --dist (ragged = "
                          "jax.lax.ragged_all_to_all; compiles on TPU meshes only)")
+    ap.add_argument("--pipeline-chunks", type=int, default=1,
+                    help="chunked overlap pipeline for --dist (exchange of chunk c "
+                         "overlaps partition of chunk c+1 on real meshes)")
     ap.add_argument("--keys-only", action="store_true",
                     help="benchmark radix_sort_keys (no value payload)")
     ap.add_argument("--check", action="store_true",
@@ -390,7 +394,8 @@ def main():
         full_table(backend)
         return
     if args.dist:
-        bench_dist(args.n, backend, reps=args.reps, exchange=args.exchange)
+        bench_dist(args.n, backend, reps=args.reps, exchange=args.exchange,
+                   pipeline_chunks=args.pipeline_chunks)
         return
     if args.check:
         run_checks(args.n, backend)

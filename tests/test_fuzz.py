@@ -79,3 +79,62 @@ def test_fuzz_reduce(trial, backend):
     got = np.asarray(reduce(jnp.asarray(x), _ENUM[op], backend=backend))
     exp = get_oracle().reduce_u32(x, op)
     assert got == exp, (n, op)
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_sort_multi(trial, backend):
+    """Multi-stream engine fuzz: 0-3 payload streams permuted identically,
+    random lengths/distributions/steps, vs the oracle's kv permutation."""
+    from glu_tpu import radix_sort_multi
+
+    rng = np.random.default_rng(5000 + trial)
+    n = int(rng.integers(1, 8193))
+    steps = int(rng.integers(1, 9))
+    ns = int(rng.integers(0, 4))
+    k = _keys(rng, n)
+    payloads = tuple(
+        rng.integers(0, 1 << 32, n, dtype=np.uint32) for _ in range(ns)
+    )
+    gk, gvs = radix_sort_multi(
+        jnp.asarray(k), tuple(jnp.asarray(p) for p in payloads),
+        num_steps=steps, backend=backend,
+    )
+    idx = np.arange(n, dtype=np.uint32)
+    ek, perm = get_oracle().radix_sort_kv(k, idx, num_steps=steps)
+    np.testing.assert_array_equal(np.asarray(gk), ek)
+    assert len(gvs) == ns
+    for p, g in zip(payloads, gvs):
+        np.testing.assert_array_equal(np.asarray(g), p[perm])
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_dist_chunked(trial):
+    """Chunked-pipeline distributed sort fuzz on the 8-device CPU mesh:
+    random chunk counts and key distributions vs numpy stable argsort."""
+    import jax
+
+    from glu_tpu.parallel import distributed_radix_sort, make_sort_mesh
+
+    rng = np.random.default_rng(7000 + trial)
+    d = 8
+    per = int(rng.integers(1, 5)) * 256
+    chunks = int(rng.choice([1, 2, 4]))
+    n = d * per
+    k = _keys(rng, n)
+    v = np.arange(n, dtype=np.uint32)
+    mesh = make_sort_mesh(jax.devices()[:d])
+    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("shards"))
+    ok, ov, counts, overflow = distributed_radix_sort(
+        jax.device_put(jnp.asarray(k), sh),
+        jax.device_put(jnp.asarray(v), sh),
+        mesh,
+        pipeline_chunks=chunks,
+    )
+    assert int(np.asarray(overflow)[0]) == 0
+    ok, ov, counts = map(np.asarray, (ok, ov, counts))
+    padded = ok.shape[0] // d
+    gk = np.concatenate([ok[i * padded : i * padded + counts[i]] for i in range(d)])
+    gv = np.concatenate([ov[i * padded : i * padded + counts[i]] for i in range(d)])
+    order = np.argsort(k, kind="stable")
+    np.testing.assert_array_equal(gk, k[order])
+    np.testing.assert_array_equal(gv, order.astype(np.uint32))
