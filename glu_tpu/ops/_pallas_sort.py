@@ -542,7 +542,12 @@ def _choose_block_rows(n: int) -> int:
     r = 8
     while r < rows and r < BLOCK_R:
         r *= 2
-    if r == BLOCK_R and BLOCK_R > 512 and _desc_bytes(rows, 512) <= _DESC_SMEM_BUDGET:
+    if (
+        r == BLOCK_R
+        and rows > BLOCK_R  # single-block inputs keep the identity-splice path
+        and BLOCK_R > 512
+        and _desc_bytes(rows, 512) <= _DESC_SMEM_BUDGET
+    ):
         return 512
     while _desc_bytes(rows, r) > _DESC_SMEM_BUDGET:
         r *= 2
