@@ -73,14 +73,27 @@ FIELDS = 1 << FIELD_BITS
 # mode. Kernels read these at trace time; callers monkeypatching them must
 # clear the host-level jit caches (tests/test_splicer.py does).
 BLOCK_R = 1024                 # rows per block; block = 131072 elements
-CH_ROWS = 72                   # covers a typical run (BLOCK_R/FIELDS rows) + misaligned boundary
-_READ_ROWS = CH_ROWS + 8       # DMA read size (sublane-aligned, covers CH+1 rows)
+CH_ROWS = 72                   # splice chunk-height CAP: the per-sort chunk is
+                               # min(CH_ROWS, R//16 + 8) — a typical run is
+                               # R/FIELDS rows, +8 covers the misaligned
+                               # boundary, and tighter chunks at R=512 cut the
+                               # splice's fixed 2.5x overread (measured 199.2
+                               # -> 205.7 M keys/s at 268M)
+_READ_ROWS = CH_ROWS + 8       # read-size cap (sublane-aligned, covers CH+1 rows)
 _FUSE_MAX_R = 512              # largest single block the fused whole-sort kernel handles
 
 
-def _slack_rows() -> int:
+def _chunk_rows(r: int) -> tuple[int, int]:
+    """(chunk rows, DMA read rows) for block height r: sized to one typical
+    run, capped by the module constants (which shrunken-geometry tests
+    monkeypatch to force the multi-chunk serial path at tiny n)."""
+    ch = min(CH_ROWS, r // 16 + 8)
+    return ch, min(_READ_ROWS, ch + 8)
+
+
+def _slack_rows(ch: int, rd: int) -> int:
     """Splicer src/dst over-read/-write padding (derived from live geometry)."""
-    return 2 * CH_ROWS + _READ_ROWS
+    return 2 * ch + rd
 
 
 def _lanes(shape):
@@ -279,7 +292,7 @@ def _group_pass(shift_arr, keys2d, values2d, R, interpret, num_blocks=None):
     return outs[0], list(outs[1 : 1 + ns]), outs[1 + ns][:, 0, :FIELDS]
 
 
-def _splice_kernel_factory(ns: int):
+def _splice_kernel_factory(ns: int, ch: int, rd: int):
     """Kernel body copying run i (grid step i) of `ns` streams: flat
     [src, src+len) -> flat [dst, dst+len) with shared descriptors.
 
@@ -289,16 +302,16 @@ def _splice_kernel_factory(ns: int):
     to step i+1 (which must wait anyway before touching the shared
     boundary row). Every step issues exactly one read set and one write
     set (dummy transfers into the slack region for empty runs) so the
-    semaphore accounting is static. Runs longer than CH_ROWS fall back to
+    semaphore accounting is static. Runs longer than ch fall back to
     an inline serial path for their extra chunks (sem_x).
 
     Index algebra: delta = dst - src, rot = delta mod 128,
     dq = (delta - rot)/128. Output row j, lane l takes
     src[(dst_row + j) - dq - (1 if l < rot else 0), (l - rot) mod 128].
-    Reads cover _READ_ROWS source rows starting one row before the first
+    Reads cover rd source rows starting one row before the first
     needed hi row; when that pre-row would be source row -1 the read clamps
     to 0 and the lo tile is realigned by a one-row roll (see `tiles`).
-    Writes are whole CH_ROWS chunks; spill beyond the run's end is rewritten
+    Writes are whole ch chunks; spill beyond the run's end is rewritten
     by later runs (ascending dst order) or lands in padded slack. Per-stream
     carry scratch holds the previous run's last output row for the boundary
     merge."""
@@ -315,7 +328,7 @@ def _splice_kernel_factory(ns: int):
 
         i = pl.program_id(0)
         nruns = pl.num_programs(0)
-        slack_row = dst_refs[0].shape[0] - CH_ROWS  # dummy-write target in slack
+        slack_row = dst_refs[0].shape[0] - ch  # dummy-write target in slack
 
         def rd0_of(run):
             src = s_ref[run]
@@ -329,7 +342,7 @@ def _splice_kernel_factory(ns: int):
             rd0 = rd0_of(run)
             for s in range(ns):
                 cp = pltpu.make_async_copy(
-                    src_refs[s].at[pl.ds(rd0, _READ_ROWS), :],
+                    src_refs[s].at[pl.ds(rd0, rd), :],
                     rbufs[s].at[slot],
                     sem_rd.at[slot, s],
                 )
@@ -339,7 +352,7 @@ def _splice_kernel_factory(ns: int):
             for s in range(ns):
                 pltpu.make_async_copy(
                     wbufs[s].at[slot],
-                    dst_refs[s].at[pl.ds(slack_row, CH_ROWS), :],
+                    dst_refs[s].at[pl.ds(slack_row, ch), :],
                     sem_wr.at[slot, s],
                 ).wait()
 
@@ -365,9 +378,9 @@ def _splice_kernel_factory(ns: int):
         dst_r0 = dst // LANES
         dst_l0 = dst % LANES
         n_out_rows = (dst_l0 + ln + LANES - 1) // LANES
-        nchunks = (n_out_rows + CH_ROWS - 1) // CH_ROWS
-        lanes2 = _lanes((CH_ROWS, LANES))
-        rows2 = _rows((CH_ROWS, LANES))
+        nchunks = (n_out_rows + ch - 1) // ch
+        lanes2 = _lanes((ch, LANES))
+        rows2 = _rows((ch, LANES))
         idx = (lanes2 - rot) % LANES
 
         def rotate(tile_hi, tile_lo, carry, is_first):
@@ -383,8 +396,8 @@ def _splice_kernel_factory(ns: int):
             with a one-row roll instead; its row 0 is garbage, but row 0's
             lanes < rot are always masked there (hi0 == 0 forces
             dst_l0 >= rot, so the carry merge covers them)."""
-            hi = buf[slot_, pl.ds(base_, CH_ROWS), :]
-            lo_raw = buf[slot_, pl.ds(jnp.maximum(base_ - 1, 0), CH_ROWS), :]
+            hi = buf[slot_, pl.ds(base_, ch), :]
+            lo_raw = buf[slot_, pl.ds(jnp.maximum(base_ - 1, 0), ch), :]
             lo = jnp.where(base_ > 0, lo_raw, pltpu.roll(lo_raw, 1, axis=0))
             return hi, lo
 
@@ -399,7 +412,7 @@ def _splice_kernel_factory(ns: int):
             wbufs[s][slot] = rotate(hi, lo_, carries[s], ln > 0)
         last0 = n_out_rows - 1
 
-        @pl.when((ln > 0) & (last0 < CH_ROWS))
+        @pl.when((ln > 0) & (last0 < ch))
         def _():
             for s in range(ns):
                 carries[s][0] = wbufs[s][slot, last0, :]
@@ -414,20 +427,20 @@ def _splice_kernel_factory(ns: int):
         for s in range(ns):
             pltpu.make_async_copy(
                 wbufs[s].at[slot],
-                dst_refs[s].at[pl.ds(wrow, CH_ROWS), :],
+                dst_refs[s].at[pl.ds(wrow, ch), :],
                 sem_wr.at[slot, s],
             ).start()
 
-        # --- extra chunks (serial path, rare: run longer than CH_ROWS) -----
+        # --- extra chunks (serial path, rare: run longer than ch) -----
         @pl.when(nchunks > 1)
         def _():
             def chunk_body(c, _):
-                hi0c = dst_r0 + c * CH_ROWS - dq
+                hi0c = dst_r0 + c * ch - dq
                 rd0c = jnp.maximum(hi0c - 1, 0)
                 basec = hi0c - rd0c
                 rds = [
                     pltpu.make_async_copy(
-                        src_refs[s].at[pl.ds(rd0c, _READ_ROWS), :],
+                        src_refs[s].at[pl.ds(rd0c, rd), :],
                         rbufs[s].at[2],
                         sem_x.at[0, s],
                     )
@@ -440,9 +453,9 @@ def _splice_kernel_factory(ns: int):
                 for s in range(ns):
                     hi, lo_ = tiles(rbufs[s], 2, basec)
                     wbufs[s][2] = rotate(hi, lo_, carries[s], False)
-                lastc = last0 - c * CH_ROWS
+                lastc = last0 - c * ch
 
-                @pl.when((lastc >= 0) & (lastc < CH_ROWS))
+                @pl.when((lastc >= 0) & (lastc < ch))
                 def _():
                     for s in range(ns):
                         carries[s][0] = wbufs[s][2, lastc, :]
@@ -450,7 +463,7 @@ def _splice_kernel_factory(ns: int):
                 wrs = [
                     pltpu.make_async_copy(
                         wbufs[s].at[2],
-                        dst_refs[s].at[pl.ds(dst_r0 + c * CH_ROWS, CH_ROWS), :],
+                        dst_refs[s].at[pl.ds(dst_r0 + c * ch, ch), :],
                         sem_x.at[1, s],
                     )
                     for s in range(ns)
@@ -471,23 +484,24 @@ def _splice_kernel_factory(ns: int):
     return body
 
 
-def _splice_streams(srcs, dsts, lens, streams, total_rows, interpret):
+def _splice_streams(srcs, dsts, lens, streams, total_rows, ch, rd, interpret):
     """K2: sequential run splicer over `streams` (list of (rows, 128) padded
-    sources moved with shared descriptors). Returns the spliced list."""
+    sources moved with shared descriptors, ch-row chunks / rd-row reads).
+    Returns the spliced list."""
     ns = len(streams)
     nruns = srcs.shape[0]
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
     out_shape = [jax.ShapeDtypeStruct((total_rows, LANES), jnp.uint32)] * ns
     outs = pl.pallas_call(
-        _splice_kernel_factory(ns),
+        _splice_kernel_factory(ns, ch, rd),
         grid=(nruns,),
         in_specs=[smem, smem, smem] + [anyspec] * ns,
         out_specs=[anyspec] * ns,
         out_shape=out_shape,
         scratch_shapes=(
-            [pltpu.VMEM((3, _READ_ROWS, LANES), jnp.uint32) for _ in range(ns)]  # read bounce (2 pipelined + 1 serial)
-            + [pltpu.VMEM((3, CH_ROWS, LANES), jnp.uint32) for _ in range(ns)]   # write bounce
+            [pltpu.VMEM((3, rd, LANES), jnp.uint32) for _ in range(ns)]  # read bounce (2 pipelined + 1 serial)
+            + [pltpu.VMEM((3, ch, LANES), jnp.uint32) for _ in range(ns)]   # write bounce
             + [pltpu.VMEM((8, LANES), jnp.uint32) for _ in range(ns)]            # carry (row 0)
             + [
                 pltpu.SemaphoreType.DMA((2, ns)),  # pipelined reads
@@ -643,7 +657,8 @@ def pallas_radix_sort_streams(keys: jax.Array, payloads, num_steps: int):
     # (re-padding each pass would copy the full arrays 2x per pass); the
     # slack region holds garbage and is excluded from the group grid and
     # from the final slice.
-    slack = _slack_rows()
+    ch, rd = _chunk_rows(R)
+    slack = _slack_rows(ch, rd)
     rows_slacked = total_rows + slack
     k2 = jnp.pad(k2, ((0, slack), (0, 0)))
     v2s = [jnp.pad(v, ((0, slack), (0, 0))) for v in v2s]
@@ -653,7 +668,7 @@ def pallas_radix_sort_streams(keys: jax.Array, payloads, num_steps: int):
         shift_arr = jnp.array([step * FIELD_BITS], dtype=jnp.int32)
         gk, gvs, counts = _group_pass(shift_arr, k2, v2s, R, interp, num_blocks)
         srcs, dsts, lens = _run_descriptors(counts, R)
-        spliced = _splice_streams(srcs, dsts, lens, [gk] + gvs, rows_slacked, interp)
+        spliced = _splice_streams(srcs, dsts, lens, [gk] + gvs, rows_slacked, ch, rd, interp)
         k2, v2s = spliced[0], spliced[1:]
 
     out_k = k2[:total_rows].reshape(-1)[:n]
