@@ -1,4 +1,5 @@
-"""Phase isolation for the production 1-bit split at R=1024.
+"""Phase isolation for the production 1-bit split (round 3: R=512, wide
+Zin column scan, packed-byte cums — pass R as argv[2] to sweep).
 
 Each variant removes one phase (replacing it with a cheap stand-in) so the
 difference vs the full split prices that phase. Results are WRONG sorts —
@@ -24,9 +25,9 @@ from jax.experimental.pallas import tpu as pltpu
 sys.path.insert(0, "/root/repo")
 from glu_tpu.ops import _pallas_sort as ps
 
-R = 1024
+R = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 LANES = 128
-NBLOCKS = 64
+NBLOCKS = 8388608 // (R * 128)
 N = NBLOCKS * R * LANES
 
 
@@ -75,9 +76,28 @@ def make_split(variant):
         elif variant == "mxucums":
             cumZ = mxu_cumZ(z)
         else:
-            cumZ = ps._inrow_cumsum(z)
+            cumZ = ps._packed4_inrow_cumsum(z)
         c0 = cumZ[:, LANES - 1 : LANES]
-        Zin = ps.narrow_cumsum_incl(c0, R)
+        if variant == "nozin":
+            Zin = c0  # wrong values; prices the wide Zin column scan
+        elif variant == "zin16":
+            # 2-group 16-bit packed wide column scan: rows r and r+R/2 share
+            # one u32 (prefix sums <= R/2*128 = 32768 fit 16 bits at R<=512),
+            # so the scan runs 1 fewer step on HALF the rows
+            H = R // 2
+            wide = jax.lax.broadcast_in_dim(c0, (R, LANES), (0, 1))
+            packed = wide[:H] + (wide[H:] << 16)
+            rws = jax.lax.broadcasted_iota(jnp.int32, (H, LANES), 0)
+            sstep = 1
+            while sstep < H:
+                packed = packed + jnp.where(rws >= sstep, pltpu.roll(packed, sstep, axis=0), 0)
+                sstep *= 2
+            lo16 = packed & 0xFFFF
+            hi16 = (packed >> 16) & 0xFFFF
+            total_lo = lo16[H - 1 : H, :]
+            Zin = jnp.concatenate([lo16, hi16 + total_lo], axis=0)[:, 0:1]
+        else:
+            Zin = ps._col_prefix_wide(c0, R)
         Zex = Zin - c0
         n0 = Zin[R - 1, 0]
         Oex = ps._rows((R, 1)) * LANES - Zex
@@ -159,7 +179,8 @@ def make_group(split_fn, nbits=4):
 
 
 if __name__ == "__main__":
-    want = sys.argv[1:] or ["full", "nocums", "nosearch", "noshift", "noroute", "mxucums"]
+    want = ([sys.argv[1]] if len(sys.argv) > 1 and sys.argv[1] != "-" else
+            ["full", "nozin", "zin16"])
     rng = np.random.default_rng(1)
     k2 = jnp.asarray(rng.integers(0, 1 << 32, (NBLOCKS * R, LANES), dtype=np.uint32))
     v2 = jnp.asarray(np.arange(N, dtype=np.uint32).reshape(NBLOCKS * R, LANES))
