@@ -105,19 +105,13 @@ def _rows(shape):
 
 
 def _inrow_cumsum(x):
+    """Plain in-row roll-scan — superseded in the engine by
+    _packed4_inrow_cumsum; kept as the reference implementation the
+    proto/ labs price variants against."""
     lanes = _lanes(x.shape)
     s = 1
     while s < LANES:
         x = x + jnp.where(lanes >= s, pltpu.roll(x, s, axis=x.ndim - 1), 0)
-        s *= 2
-    return x
-
-
-def _col_cumsum_incl(x, rows_n):
-    rows = _rows(x.shape)
-    s = 1
-    while s < rows_n:
-        x = x + jnp.where(rows >= s, pltpu.roll(x, s, axis=x.ndim - 2), 0)
         s *= 2
     return x
 
