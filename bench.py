@@ -79,12 +79,12 @@ def _time_best(fn, *args, reps=3):
     return max(best - _fence_floor(), 1e-9)
 
 
-def bench_sort(n, backend, reps=3):
+def bench_sort(n, backend, reps=3, bits=None):
     keys = _rand_u32(n, 1)
     vals = jnp.arange(n, dtype=jnp.uint32)
 
     def run(k, v):
-        return radix_sort(k, v, backend=backend)
+        return radix_sort(k, v, backend=backend, bits=bits)
 
     _sync(run(jnp.copy(keys), jnp.copy(vals)))  # warm-up/compile
     best = float("inf")
@@ -319,39 +319,41 @@ def _device_verify(in_keys, out_k, out_v):
     return sorted_ok & perm_ok & vperm_ok & stable_ok & pair_ok
 
 
-def run_checks(n, backend):
+def run_checks(n, backend, bits=None):
     """BASELINE.json config battery: 268M-scale sorts across uniform,
     pre-sorted, reverse, and low-entropy keys, verified on-device.
 
     One untimed warm-up sort + verify first: every distribution shares the
     same shapes, so this pays ALL compiles (sort program + verifier) before
     any timed row — CHECK_r02's first row famously read 30× below steady
-    state because it ran cold."""
+    state because it ran cold. With bits=\"auto\" (the adaptive battery) each
+    distribution compiles a DIFFERENT pass program, so every distribution
+    gets its own untimed warm-up; the timed region still includes the
+    varying-bit detection (one reduction + a ~30 ms tunnel fetch) — the
+    price a real caller pays."""
     import numpy as np
 
     wk = _rand_u32(n, 11)
     wv = jnp.arange(n, dtype=jnp.uint32)
-    ok_w, ov_w = radix_sort(jnp.copy(wk), wv, backend=backend)
+    ok_w, ov_w = radix_sort(jnp.copy(wk), wv, backend=backend, bits=bits)
     bool(np.asarray(_device_verify(wk, ok_w, ov_w)))
     del wk, wv, ok_w, ov_w
 
     for dist in ("uniform", "presorted", "reverse", "lowentropy"):
         keys = _make_dist_keys(n, dist)
         vals = jnp.arange(n, dtype=jnp.uint32)
+        if bits is not None:  # per-distribution pass program: warm it first
+            ok_w, ov_w = radix_sort(jnp.copy(keys), jnp.copy(vals), backend=backend, bits=bits)
+            bool(np.asarray(_device_verify(keys, ok_w, ov_w)))
+            del ok_w, ov_w
         t0 = time.perf_counter()
-        out_k, out_v = radix_sort(jnp.copy(keys), jnp.copy(vals), backend=backend)
+        out_k, out_v = radix_sort(jnp.copy(keys), jnp.copy(vals), backend=backend, bits=bits)
         ok = bool(np.asarray(_device_verify(keys, out_k, out_v)))
         dt = time.perf_counter() - t0 - _fence_floor()
-        print(
-            json.dumps(
-                {
-                    "check": dist,
-                    "n": n,
-                    "ok": ok,
-                    "keys_per_s": round(n / dt, 1),
-                }
-            )
-        )
+        rec = {"check": dist, "n": n, "ok": ok, "keys_per_s": round(n / dt, 1)}
+        if bits is not None:
+            rec["bits"] = bits
+        print(json.dumps(rec))
         assert ok, f"device verification FAILED for {dist} at n={n}"
 
 
@@ -371,6 +373,9 @@ def main():
                     help="benchmark radix_sort_keys (no value payload)")
     ap.add_argument("--check", action="store_true",
                     help="run the BASELINE config battery (uniform/presorted/reverse/lowentropy) with on-device verification")
+    ap.add_argument("--adaptive", action="store_true",
+                    help="sort with bits=\"auto\" (entropy-adaptive bit pruning; "
+                         "detection cost included in the timed region)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cpu-mesh", type=int, default=0, metavar="N",
                     help="force an N-virtual-device CPU mesh (the stand-in for "
@@ -398,7 +403,7 @@ def main():
                    pipeline_chunks=args.pipeline_chunks)
         return
     if args.check:
-        run_checks(args.n, backend)
+        run_checks(args.n, backend, bits="auto" if args.adaptive else None)
         return
 
     if args.keys_only:
@@ -420,18 +425,20 @@ def main():
         return
 
     n = args.n
+    bits = "auto" if args.adaptive else None
     try:
-        elapsed = bench_sort(n, backend, reps=args.reps)
+        elapsed = bench_sort(n, backend, reps=args.reps, bits=bits)
     except Exception as e:  # noqa: BLE001 — bench must always emit its JSON line
         print(f"bench failure at n={n} backend={backend}: {e}", file=sys.stderr)
         n = 16_777_216
-        elapsed = bench_sort(n, backend, reps=args.reps)
+        elapsed = bench_sort(n, backend, reps=args.reps, bits=bits)
     keys_per_s = n / elapsed
     # normalize to the 268M-pair headline metric even when n differs
+    tag = "_adaptive" if args.adaptive else ""
     print(
         json.dumps(
             {
-                "metric": f"radix_sort_u32kv_keys_per_sec_n{n}",
+                "metric": f"radix_sort_u32kv{tag}_keys_per_sec_n{n}",
                 "value": round(keys_per_s, 1),
                 "unit": "keys/s",
                 "vs_baseline": round(keys_per_s / BASELINE_SORT_268M_KEYS_PER_S, 3),

@@ -41,6 +41,7 @@ from .ops.radix_sort import (
     radix_sort_segmented,
     radix_sort_u64,
     radix_sort_u64_parts,
+    varying_key_bits,
 )
 
 __version__ = "0.1.0"
@@ -79,4 +80,5 @@ __all__ = [
     "radix_sort_segmented",
     "radix_sort_u64",
     "radix_sort_u64_parts",
+    "varying_key_bits",
 ]

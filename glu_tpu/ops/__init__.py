@@ -23,4 +23,5 @@ from .radix_sort import (
     radix_sort_segmented,
     radix_sort_u64,
     radix_sort_u64_parts,
+    varying_key_bits,
 )

@@ -223,34 +223,46 @@ def _split_round(k, vs, bit):
     return out_k, out_vs
 
 
-def _group_block(k, vs, shift):
-    """Group a (R,128) block stably by its FIELD_BITS-bit field at `shift`
-    (LSB-first splits)."""
-    for b in range(FIELD_BITS):
-        bit = ((k >> (shift + jnp.uint32(b))) & jnp.uint32(1)).astype(jnp.int32)
+def _group_block(k, vs, pos_ref, nbits):
+    """Group a (R,128) block stably by the `nbits` key bits whose positions
+    are in the SMEM array `pos_ref` (LSB-first splits: pos_ref[0] is least
+    significant). The contiguous full-sort case is pos_ref = [s, s+1, s+2,
+    s+3]; arbitrary positions carry the bit-pruned adaptive sorts."""
+    for b in range(nbits):
+        p = pos_ref[b].astype(jnp.uint32)
+        bit = ((k >> p) & jnp.uint32(1)).astype(jnp.int32)
         k, vs = _split_round(k, vs, bit)
     return k, vs
 
 
-def _counts_row(k, shift):
-    """FIELDS-bin field histogram of a block, laid into an (8,128) tile
-    (row 0, lanes 0..FIELDS-1) — the Mosaic-aligned counts output."""
-    digit = (k >> shift) & jnp.uint32(FIELDS - 1)
+def _counts_row(k, pos_ref, nbits):
+    """2**nbits-bin histogram of the compact digit formed by the key bits at
+    `pos_ref[0..nbits)`, laid into an (8,128) tile (row 0, lanes
+    0..2**nbits-1) — the Mosaic-aligned counts output."""
+    digit = jnp.zeros(k.shape, jnp.uint32)
+    for j in range(nbits):
+        p = pos_ref[j].astype(jnp.uint32)
+        digit = digit | (((k >> p) & jnp.uint32(1)) << jnp.uint32(j))
     rows8 = _rows((8, LANES))
     lanes8 = _lanes((8, LANES))
     res = jnp.zeros((8, LANES), jnp.int32)
-    for d in range(FIELDS):
+    for d in range(1 << nbits):
         c = jnp.sum((digit == jnp.uint32(d)).astype(jnp.int32))
         res = res + jnp.where((rows8 == 0) & (lanes8 == d), c, 0)
     return res
 
 
-def _group_pass(shift_arr, keys2d, values2d, R, interpret, num_blocks=None):
+def _group_pass(pos_arr, keys2d, values2d, R, interpret, num_blocks=None, nbits=FIELD_BITS):
     """K1: returns (grouped keys, grouped value streams (list), counts
     (B, FIELDS)). values2d is a list of payload arrays (possibly empty).
     keys2d may carry trailing slack rows (excluded via num_blocks); grid
     steps only touch rows [0, num_blocks*R), the slack region passes
-    through unwritten (don't-care for the splicer's over-reads)."""
+    through unwritten (don't-care for the splicer's over-reads).
+
+    pos_arr is an (nbits,) i32 array of bit positions (SMEM — one compiled
+    kernel serves every pass); nbits < FIELD_BITS happens on the last pass
+    of a bit-pruned sort (buckets >= 2**nbits simply count zero, which the
+    run-descriptor/splice machinery already treats as empty runs)."""
     ns = len(values2d)
     if num_blocks is None:
         num_blocks = keys2d.shape[0] // R
@@ -261,18 +273,17 @@ def _group_pass(shift_arr, keys2d, values2d, R, interpret, num_blocks=None):
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
-    def kernel(shift_ref, *refs):
+    def kernel(pos_ref, *refs):
         k_ref = refs[0]
         v_refs = refs[1 : 1 + ns]
         ok_ref = refs[1 + ns]
         ov_refs = refs[2 + ns : 2 + 2 * ns]
         cnt_ref = refs[2 + 2 * ns]
-        shift = shift_ref[0].astype(jnp.uint32)
-        k, vs = _group_block(k_ref[:], [v[:] for v in v_refs], shift)
+        k, vs = _group_block(k_ref[:], [v[:] for v in v_refs], pos_ref, nbits)
         ok_ref[:] = k
         for o, v in zip(ov_refs, vs):
             o[:] = v
-        cnt_ref[0] = _counts_row(k, shift)
+        cnt_ref[0] = _counts_row(k, pos_ref, nbits)
 
     outs = pl.pallas_call(
         kernel,
@@ -282,7 +293,7 @@ def _group_pass(shift_arr, keys2d, values2d, R, interpret, num_blocks=None):
         out_shape=[data_shape] * (1 + ns) + [cnt_shape],
         interpret=interpret,
         compiler_params=params,
-    )(shift_arr, keys2d, *values2d)
+    )(pos_arr, keys2d, *values2d)
     return outs[0], list(outs[1 : 1 + ns]), outs[1 + ns][:, 0, :FIELDS]
 
 
@@ -562,17 +573,19 @@ def _choose_block_rows(n: int) -> int:
     return r
 
 
-def _single_block_sort(keys2d, values2d, R, num_steps, interpret):
-    """Fused path for single-block inputs: all num_steps*FIELD-bit splits in
-    ONE kernel invocation (the splice is the identity when there is only one
-    block, so the whole LSD sort collapses into one VMEM-resident kernel —
-    8 dispatch+glue round trips fewer than the general path; the analog of
+def _single_block_sort(keys2d, values2d, R, positions, interpret):
+    """Fused path for single-block inputs: every 1-bit split in ONE kernel
+    invocation (the splice is the identity when there is only one block, so
+    the whole LSD sort collapses into one VMEM-resident kernel — 8
+    dispatch+glue round trips fewer than the general path; the analog of
     how the reference's small sorts are dominated by its per-pass dispatch
-    overhead, README.md:120-125)."""
-    nbits = num_steps * RADIX_BITS
+    overhead, README.md:120-125). `positions` lists the split bit positions
+    LSB-first (SMEM array, dynamically indexed by the split loop — one
+    compiled kernel per split COUNT, not per bit set)."""
+    nbits = len(positions)
     ns = len(values2d)
 
-    def kernel(*refs):
+    def kernel(pos_ref, *refs):
         k_ref = refs[0]
         v_refs = refs[1 : 1 + ns]
         ok_ref = refs[1 + ns]
@@ -580,7 +593,8 @@ def _single_block_sort(keys2d, values2d, R, num_steps, interpret):
 
         def body(b, kv):
             k, vs = kv
-            bit = ((k >> b.astype(jnp.uint32)) & jnp.uint32(1)).astype(jnp.int32)
+            p = pos_ref[b].astype(jnp.uint32)
+            bit = ((k >> p) & jnp.uint32(1)).astype(jnp.int32)
             k, vs = _split_round(k, list(vs), bit)
             return k, tuple(vs)
 
@@ -591,31 +605,44 @@ def _single_block_sort(keys2d, values2d, R, num_steps, interpret):
         for o, v in zip(ov_refs, vs):
             o[:] = v
 
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     spec = pl.BlockSpec((R, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct(keys2d.shape, jnp.uint32)
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     outs = pl.pallas_call(
         kernel,
         grid=(1,),
-        in_specs=[spec] * (1 + ns),
+        in_specs=[smem] + [spec] * (1 + ns),
         out_specs=[spec] * (1 + ns),
         out_shape=[shape] * (1 + ns),
         interpret=interpret,
         compiler_params=params,
-    )(keys2d, *values2d)
+    )(jnp.asarray(positions, dtype=jnp.int32), keys2d, *values2d)
     return outs[0], list(outs[1:])
 
 
-def pallas_radix_sort_streams(keys: jax.Array, payloads, num_steps: int):
+def pallas_radix_sort_streams(keys: jax.Array, payloads, num_steps: int, bit_positions=None):
     """Stable LSD radix sort of u32 keys with a LIST of u32 payload streams
     permuted identically (reference operator() semantics for the (key,
     value) case, RadixSort.hpp:273; N-stream movement is the TPU extension
     the multi-word-key and distributed layers build on). Returns
-    (sorted keys, list of permuted payloads)."""
+    (sorted keys, list of permuted payloads).
+
+    bit_positions (optional, static tuple) restricts the sort to the given
+    key bit positions, LSB-first — the bit-pruned path under the adaptive
+    sorts: only ceil(len(bit_positions)/FIELD_BITS) passes run instead of
+    num_steps. None means bits 0..4*num_steps-1 (the reference contract)."""
     interp = interpret_mode()
     payloads = list(payloads)
     ns = len(payloads)
     n = keys.shape[0]
+    if bit_positions is None:
+        positions = tuple(range(num_steps * RADIX_BITS))
+    else:
+        positions = tuple(int(b) for b in bit_positions)
+    if not positions:
+        return keys, payloads  # zero sort bits: the identity permutation
+    groups = [positions[i : i + FIELD_BITS] for i in range(0, len(positions), FIELD_BITS)]
     R = _choose_block_rows(n)
     S = R * LANES
     padded = -(-n // S) * S
@@ -623,7 +650,7 @@ def pallas_radix_sort_streams(keys: jax.Array, payloads, num_steps: int):
     total_rows = padded // LANES
     vlog(
         "radix_sort n=%d: R=%d blocks=%d streams=%d passes=%d splice_runs/pass=%d",
-        n, R, num_blocks, ns, num_steps * (RADIX_BITS // FIELD_BITS),
+        n, R, num_blocks, ns, len(groups),
         num_blocks * FIELDS if num_blocks > 1 else 0,
     )
 
@@ -636,15 +663,14 @@ def pallas_radix_sort_streams(keys: jax.Array, payloads, num_steps: int):
     if num_blocks == 1 and R <= _FUSE_MAX_R:
         # small single block: the whole sort fuses into ONE kernel — no
         # splices, no per-pass glue (bit-by-bit LSD = 4-bit-by-4-bit LSD)
-        k2, v2s = _single_block_sort(k2, v2s, R, num_steps, interp)
+        k2, v2s = _single_block_sort(k2, v2s, R, positions, interp)
         return k2.reshape(-1)[:n], [v.reshape(-1)[:n] for v in v2s]
     if num_blocks == 1:
         # one max-size block: per-pass grouping, splice is the identity
         # (the fused form compiles to much slower code at R=1024)
-        internal_passes = num_steps * (RADIX_BITS // FIELD_BITS)
-        for step in range(internal_passes):
-            shift_arr = jnp.array([step * FIELD_BITS], dtype=jnp.int32)
-            k2, v2s, _ = _group_pass(shift_arr, k2, v2s, R, interp)
+        for g in groups:
+            pos_arr = jnp.array(g, dtype=jnp.int32)
+            k2, v2s, _ = _group_pass(pos_arr, k2, v2s, R, interp, nbits=len(g))
         return k2.reshape(-1)[:n], [v.reshape(-1)[:n] for v in v2s]
 
     # splicer slack rows are allocated ONCE and carried through all passes
@@ -657,10 +683,9 @@ def pallas_radix_sort_streams(keys: jax.Array, payloads, num_steps: int):
     k2 = jnp.pad(k2, ((0, slack), (0, 0)))
     v2s = [jnp.pad(v, ((0, slack), (0, 0))) for v in v2s]
 
-    internal_passes = num_steps * (RADIX_BITS // FIELD_BITS)
-    for step in range(internal_passes):
-        shift_arr = jnp.array([step * FIELD_BITS], dtype=jnp.int32)
-        gk, gvs, counts = _group_pass(shift_arr, k2, v2s, R, interp, num_blocks)
+    for g in groups:
+        pos_arr = jnp.array(g, dtype=jnp.int32)
+        gk, gvs, counts = _group_pass(pos_arr, k2, v2s, R, interp, num_blocks, nbits=len(g))
         srcs, dsts, lens = _run_descriptors(counts, R)
         spliced = _splice_streams(srcs, dsts, lens, [gk] + gvs, rows_slacked, ch, rd, interp)
         k2, v2s = spliced[0], spliced[1:]

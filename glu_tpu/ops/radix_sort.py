@@ -42,8 +42,10 @@ RADIX = 1 << RADIX_BITS  # 16 buckets
 NUM_PASSES = 32 // RADIX_BITS  # 8 passes over u32 keys
 
 
-def _sort_pass_xla(keys: jax.Array, values, shift: int):
-    """One stable counting-sort pass by the 4-bit digit at `shift` (jnp only).
+def _sort_pass_xla(keys: jax.Array, values, pos4):
+    """One stable counting-sort pass by the 4-bit compact digit whose bit
+    positions are in `pos4` (an (RADIX_BITS,) i32 array; the contiguous
+    full-sort case is [s, s+1, s+2, s+3]) (jnp only).
 
     Mirrors the reference pass structure (count :296-307 / scan :311 /
     reorder :315-329) as dense vector ops: per-digit exclusive cumsum gives
@@ -53,7 +55,10 @@ def _sort_pass_xla(keys: jax.Array, values, shift: int):
     the same destinations.
     """
     n = keys.shape[0]
-    digit = (keys >> shift.astype(jnp.uint32)) & jnp.uint32(RADIX - 1)
+    digit = jnp.zeros_like(keys)
+    for j in range(RADIX_BITS):
+        p = pos4[j].astype(jnp.uint32)
+        digit = digit | (((keys >> p) & jnp.uint32(1)) << jnp.uint32(j))
 
     def digit_body(d, carry):
         rank, hist = carry
@@ -76,31 +81,55 @@ def _sort_pass_xla(keys: jax.Array, values, shift: int):
     return out_k, out_vs
 
 
-@partial(jax.jit, static_argnames=("num_steps", "backend"), donate_argnums=(0, 1))
-def _radix_sort_streams(keys, values, num_steps: int, backend: str):
+@partial(
+    jax.jit,
+    static_argnames=("num_steps", "backend", "bit_positions"),
+    donate_argnums=(0, 1),
+)
+def _radix_sort_streams(keys, values, num_steps: int, backend: str, bit_positions=None):
     """Core jitted entry: u32 keys + a TUPLE of u32 payload streams permuted
     identically (one grouped movement, one descriptor set — N payloads cost
     one engine pass, not N). Donates all inputs (the SSBO ping-pong analog,
-    reference RadixSort.hpp:286)."""
+    reference RadixSort.hpp:286).
+
+    bit_positions (static tuple, LSB-first) restricts the sort to those key
+    bits — the bit-pruned path under the adaptive sorts. None = the full
+    contiguous bits 0..4*num_steps-1 (the reference contract)."""
     if backend == "pallas":
         from ._pallas_sort import pallas_radix_sort_streams
 
-        out_k, out_vs = pallas_radix_sort_streams(keys, list(values), num_steps)
+        out_k, out_vs = pallas_radix_sort_streams(
+            keys, list(values), num_steps, bit_positions
+        )
         return out_k, tuple(out_vs)
 
+    if bit_positions is None:
+        positions = tuple(range(num_steps * RADIX_BITS))
+    else:
+        positions = tuple(int(b) for b in bit_positions)
+    if not positions:
+        return keys, tuple(values)
+    # Pad the trailing group to RADIX_BITS by repeating its last position:
+    # a duplicated bit raises the digit by a monotone (hence order- and
+    # stability-preserving) transform, so the padded pass sorts identically.
+    npass = -(-len(positions) // RADIX_BITS)
+    flat = list(positions) + [positions[-1]] * (npass * RADIX_BITS - len(positions))
+    pos_arr = jnp.asarray(flat, dtype=jnp.int32)
+
     def pass_body(step, kv):
-        return _sort_pass_xla(kv[0], kv[1], step * RADIX_BITS)
+        pos4 = jax.lax.dynamic_slice(pos_arr, (step * RADIX_BITS,), (RADIX_BITS,))
+        return _sort_pass_xla(kv[0], kv[1], pos4)
 
-    return jax.lax.fori_loop(0, num_steps, pass_body, (keys, tuple(values)))
+    return jax.lax.fori_loop(0, npass, pass_body, (keys, tuple(values)))
 
 
-def _radix_sort_kv(keys, values, num_steps: int, backend: str):
-    out_k, out_vs = _radix_sort_streams(keys, (values,), num_steps, backend)
+def _radix_sort_kv(keys, values, num_steps: int, backend: str, bit_positions=None):
+    out_k, out_vs = _radix_sort_streams(keys, (values,), num_steps, backend, bit_positions)
     return out_k, out_vs[0]
 
 
-def _radix_sort_k(keys, num_steps: int, backend: str):
-    out_k, _ = _radix_sort_streams(keys, (), num_steps, backend)
+def _radix_sort_k(keys, num_steps: int, backend: str, bit_positions=None):
+    out_k, _ = _radix_sort_streams(keys, (), num_steps, backend, bit_positions)
     return out_k
 
 
@@ -110,6 +139,52 @@ def _norm_steps(num_steps) -> int:
     return steps
 
 
+@jax.jit
+def _bit_envelope(keys):
+    """Device-side varying-bit mask: OR(keys) ^ AND(keys) — bit b is set iff
+    keys disagree at b. One fused read of the array (XLA or/and reductions)."""
+    ors = jax.lax.reduce(keys, jnp.uint32(0), jax.lax.bitwise_or, (0,))
+    ands = jax.lax.reduce(keys, jnp.uint32(0xFFFFFFFF), jax.lax.bitwise_and, (0,))
+    return ors ^ ands
+
+
+def varying_key_bits(keys: jax.Array) -> tuple:
+    """Positions (ascending) of the key bits that actually VARY across
+    `keys` — the bit set a stable radix sort must process; constant bits
+    never change relative order. One device reduction + a 4-byte host
+    fetch (synchronizes; not usable under an enclosing jit). Feed the
+    result to radix_sort(..., bits=...) — or pass bits=\"auto\" to fuse the
+    two steps — to sort in ceil(len(bits)/4) passes instead of 8. An
+    entropy-adaptive extension beyond the reference (which always runs all
+    8 passes or a caller-fixed num_steps, RadixSort.hpp:273)."""
+    check_argument(keys.ndim == 1, "keys must be 1-D")
+    check_argument(keys.dtype == jnp.uint32, "keys must be uint32, got %s", keys.dtype)
+    if keys.shape[0] <= 1:
+        return ()
+    mask = int(_bit_envelope(keys))
+    return tuple(b for b in range(32) if (mask >> b) & 1)
+
+
+def _norm_bits(bits, keys, num_steps):
+    """Resolve the `bits` parameter: None -> None (full contract path),
+    \"auto\" -> detect varying bits on the device (host sync), iterable ->
+    validated static tuple. Mutually exclusive with a partial num_steps."""
+    if bits is None:
+        return None
+    check_argument(
+        num_steps in (0, None, NUM_PASSES),
+        "bits cannot be combined with a partial num_steps",
+    )
+    if isinstance(bits, str):
+        check_argument(bits == "auto", 'bits must be None, "auto", or bit positions')
+        return varying_key_bits(keys)
+    positions = tuple(int(b) for b in bits)
+    for p in positions:
+        check_argument(0 <= p < 32, "bit positions must be in 0..31, got %d", p)
+    check_argument(len(set(positions)) == len(positions), "bit positions must be distinct")
+    return positions
+
+
 def radix_sort(
     keys: jax.Array,
     values: jax.Array,
@@ -117,6 +192,7 @@ def radix_sort(
     *,
     backend: str | None = None,
     descending: bool = False,
+    bits=None,
 ):
     """Stably sort (keys, values) pairs by key. Returns (sorted_keys, permuted_values).
 
@@ -127,6 +203,15 @@ def radix_sort(
     stable; an extension beyond the reference) via complemented keys, and
     requires the full sort (num_steps=0). Inputs are donated: treat them as
     consumed.
+
+    bits (extension beyond the reference): \"auto\" detects the key bits
+    that actually vary (one extra device reduction + 4-byte host sync) and
+    sorts ONLY those — an exact, stable full sort in ceil(v/4) passes
+    instead of 8 when v bits vary (e.g. low-entropy or small-range keys).
+    An explicit iterable of bit positions (LSB-first significance, distinct,
+    in 0..31) sorts by exactly that bit sequence — the generalization of
+    CUB's begin_bit/end_bit; the result is a full sort iff the set covers
+    every varying bit. Incompatible with a partial num_steps.
     """
     check_argument(keys.ndim == 1 and values.ndim == 1, "keys/values must be 1-D")
     check_argument(keys.shape == values.shape, "keys/values length mismatch")
@@ -140,20 +225,27 @@ def radix_sort(
         return keys, values
     steps = _norm_steps(num_steps)
     if descending:
-        out_k, out_v = _radix_sort_kv(~keys, values, steps, resolve_backend(backend))
-        return ~out_k, out_v
-    return _radix_sort_kv(keys, values, steps, resolve_backend(backend))
+        keys = ~keys  # complement preserves the varying-bit set
+    positions = _norm_bits(bits, keys, num_steps)
+    out_k, out_v = _radix_sort_kv(keys, values, steps, resolve_backend(backend), positions)
+    if descending:
+        out_k = ~out_k
+    return out_k, out_v
 
 
-def radix_sort_keys(keys: jax.Array, num_steps: int = 0, *, backend: str | None = None):
+def radix_sort_keys(
+    keys: jax.Array, num_steps: int = 0, *, backend: str | None = None, bits=None
+):
     """Stably sort keys only (the reference mandates values, README.md:88-89;
-    keys-only is a natural extension with the same kernels)."""
+    keys-only is a natural extension with the same kernels). See radix_sort
+    for the `bits` bit-pruning extension."""
     check_argument(keys.ndim == 1, "keys must be 1-D")
     check_argument(keys.dtype == jnp.uint32, "keys must be uint32, got %s", keys.dtype)
     if keys.shape[0] <= 1:
         return keys
     steps = _norm_steps(num_steps)
-    return _radix_sort_k(keys, steps, resolve_backend(backend))
+    positions = _norm_bits(bits, keys, num_steps)
+    return _radix_sort_k(keys, steps, resolve_backend(backend), positions)
 
 
 def radix_sort_multi(
@@ -162,6 +254,7 @@ def radix_sort_multi(
     num_steps: int = 0,
     *,
     backend: str | None = None,
+    bits=None,
 ):
     """Stably sort u32 keys with ANY number of u32 payload streams permuted
     identically — the N-stream generalization of the reference's mandatory
@@ -183,7 +276,8 @@ def radix_sort_multi(
     if keys.shape[0] <= 1:
         return keys, payloads
     steps = _norm_steps(num_steps)
-    return _radix_sort_streams(keys, payloads, steps, resolve_backend(backend))
+    positions = _norm_bits(bits, keys, num_steps)
+    return _radix_sort_streams(keys, payloads, steps, resolve_backend(backend), positions)
 
 
 def radix_sort_u64_parts(
@@ -192,6 +286,7 @@ def radix_sort_u64_parts(
     values: jax.Array,
     *,
     backend: str | None = None,
+    bits=None,
 ):
     """Stably sort by a 64-bit key given as (hi, lo) u32 halves — a
     multi-word-key extension beyond the reference (u32 only,
@@ -202,7 +297,11 @@ def radix_sort_u64_parts(
     Both sorts ride the multi-stream engine directly — (hi, value) travel as
     payloads of the lo sort and (lo, value) as payloads of the hi sort, one
     grouped movement each, no index payload and no gathers. The caller's
-    arrays are copied once (not donated)."""
+    arrays are copied once (not donated). bits=\"auto\" prunes constant key
+    bits PER WORD (see radix_sort) — e.g. u64 keys below 2^40 skip the top
+    3 hi-word passes; explicit positions are not accepted here (they would
+    ambiguously apply to both words)."""
+    check_argument(bits in (None, "auto"), 'u64 sorts accept only bits=None or "auto"')
     check_argument(
         keys_hi.ndim == 1 and keys_lo.ndim == 1 and values.ndim == 1,
         "keys_hi/keys_lo/values must be 1-D",
@@ -216,10 +315,12 @@ def radix_sort_u64_parts(
     if n <= 1:
         return keys_hi, keys_lo, values
     b = resolve_backend(backend)
+    pos_lo = _norm_bits(bits, keys_lo, 0)
+    pos_hi = _norm_bits(bits, keys_hi, 0)
     lo1, (hi1, v1) = _radix_sort_streams(
-        jnp.copy(keys_lo), (jnp.copy(keys_hi), jnp.copy(values)), NUM_PASSES, b
+        jnp.copy(keys_lo), (jnp.copy(keys_hi), jnp.copy(values)), NUM_PASSES, b, pos_lo
     )
-    hi2, (lo2, v2) = _radix_sort_streams(hi1, (lo1, v1), NUM_PASSES, b)
+    hi2, (lo2, v2) = _radix_sort_streams(hi1, (lo1, v1), NUM_PASSES, b, pos_hi)
     return hi2, lo2, v2
 
 
@@ -272,10 +373,12 @@ def radix_sort_u64(
     values: jax.Array,
     *,
     backend: str | None = None,
+    bits=None,
 ):
     """Stably sort (u64 key, u32 value) pairs via two chained 32-bit sorts
-    (see radix_sort_u64_parts). Requires jax_enable_x64 for the uint64
-    dtype; use radix_sort_u64_parts in 32-bit mode."""
+    (see radix_sort_u64_parts, including bits=\"auto\" per-word bit
+    pruning). Requires jax_enable_x64 for the uint64 dtype; use
+    radix_sort_u64_parts in 32-bit mode."""
     check_argument(keys.ndim == 1 and values.ndim == 1, "keys/values must be 1-D")
     check_argument(keys.shape == values.shape, "keys/values length mismatch")
     check_argument(keys.dtype == jnp.uint64, "keys must be uint64, got %s", keys.dtype)
@@ -284,7 +387,7 @@ def radix_sort_u64(
         return keys, values
     hi = (keys >> jnp.uint64(32)).astype(jnp.uint32)
     lo = (keys & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    oh, ol, ov = radix_sort_u64_parts(hi, lo, values, backend=backend)
+    oh, ol, ov = radix_sort_u64_parts(hi, lo, values, backend=backend, bits=bits)
     out_k = (oh.astype(jnp.uint64) << jnp.uint64(32)) | ol.astype(jnp.uint64)
     return out_k, ov
 
@@ -308,6 +411,7 @@ def radix_sort_f32(
     *,
     backend: str | None = None,
     descending: bool = False,
+    bits=None,
 ):
     """Stably sort (f32 key, u32 value) pairs — an extension beyond the
     reference, which supports u32 keys only (reference README.md:88-89).
@@ -315,7 +419,9 @@ def radix_sort_f32(
     Keys ride the same u32 engine through the standard order-preserving
     bit transform (negatives fully flipped, positives sign-flipped), which
     realizes IEEE-754 total order: -inf < ... < -0.0 < +0.0 < ... < +inf,
-    with NaNs at the extremes by sign bit.
+    with NaNs at the extremes by sign bit. bits=\"auto\" prunes the bits of
+    the TRANSFORMED keys that are constant across the input (see
+    radix_sort); explicit positions refer to transformed-key bits.
     """
     check_argument(keys.ndim == 1 and values.ndim == 1, "keys/values must be 1-D")
     check_argument(keys.shape == values.shape, "keys/values length mismatch")
@@ -326,7 +432,8 @@ def radix_sort_f32(
     ku = _f32_to_sortable_u32(keys)
     if descending:
         ku = ~ku
-    ku, out_v = _radix_sort_kv(ku, values, NUM_PASSES, resolve_backend(backend))
+    positions = _norm_bits(bits, ku, 0)
+    ku, out_v = _radix_sort_kv(ku, values, NUM_PASSES, resolve_backend(backend), positions)
     if descending:
         ku = ~ku
     return _sortable_u32_to_f32(ku), out_v
@@ -338,6 +445,7 @@ def radix_sort_i32(
     *,
     backend: str | None = None,
     descending: bool = False,
+    bits=None,
 ):
     """Stably sort (i32 key, u32 value) pairs — an extension beyond the
     reference, which supports u32 keys only (reference README.md:88-89).
@@ -355,7 +463,8 @@ def radix_sort_i32(
     ku = _i32_to_sortable_u32(keys)
     if descending:
         ku = ~ku
-    ku, out_v = _radix_sort_kv(ku, values, NUM_PASSES, resolve_backend(backend))
+    positions = _norm_bits(bits, ku, 0)
+    ku, out_v = _radix_sort_kv(ku, values, NUM_PASSES, resolve_backend(backend), positions)
     if descending:
         ku = ~ku
     return _sortable_u32_to_i32(ku), out_v

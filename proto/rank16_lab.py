@@ -93,7 +93,7 @@ def _tri_u_bf16():
 
 # ---------------------------------------------------------------- A. group4
 def group4_kernel(k_ref, v_ref, ok_ref, ov_ref):
-    k, vs = ps._group_block(k_ref[:], [v_ref[:]], jnp.uint32(0))
+    k, vs = ps._group_block(k_ref[:], [v_ref[:]], jnp.arange(4, dtype=jnp.int32), 4)
     ok_ref[:] = k
     ov_ref[:] = vs[0]
 
@@ -236,7 +236,7 @@ def group4_widezin_kernel(k_ref, v_ref, ok_ref, ov_ref):
     try:
         pc_narrow = lambda col, rows_n: _col_prefix_wide(col, rows_n)
         ps.narrow_cumsum_incl = pc_narrow
-        k, vs = ps._group_block(k_ref[:], [v_ref[:]], jnp.uint32(0))
+        k, vs = ps._group_block(k_ref[:], [v_ref[:]], jnp.arange(4, dtype=jnp.int32), 4)
     finally:
         ps.narrow_cumsum_incl = orig
     ok_ref[:] = k

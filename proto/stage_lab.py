@@ -54,7 +54,7 @@ def main():
     v2 = jnp.asarray(
         np.vstack([np.arange(N, dtype=np.uint32).reshape(rows, LANES),
                    np.zeros((slack, LANES), np.uint32)]))
-    shift = jnp.array([0], dtype=jnp.int32)
+    shift = jnp.array([0, 1, 2, 3], dtype=jnp.int32)  # pass-0 bit positions
 
     if "group" in want:
         def fn(k, v):
