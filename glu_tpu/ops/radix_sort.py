@@ -142,10 +142,35 @@ def _norm_steps(num_steps) -> int:
 @jax.jit
 def _bit_envelope(keys):
     """Device-side varying-bit mask: OR(keys) ^ AND(keys) — bit b is set iff
-    keys disagree at b. One fused read of the array (XLA or/and reductions)."""
+    keys disagree at b. One fused read of the array (XLA or/and reductions;
+    measured ~3 ms + the ~30 ms tunnel fetch at 268M on the v5e)."""
     ors = jax.lax.reduce(keys, jnp.uint32(0), jax.lax.bitwise_or, (0,))
     ands = jax.lax.reduce(keys, jnp.uint32(0xFFFFFFFF), jax.lax.bitwise_and, (0,))
     return ors ^ ands
+
+
+@jax.jit
+def _bit_envelope_minmax(keys):
+    """Portable fallback for _bit_envelope: 32 per-bit max/min reductions
+    (one fused array read). XLA:CPU does not implement the cross-device
+    AllReduce(or/and) the fast form lowers to on a sharded array, but
+    max/min collectives exist on every backend."""
+    ors = jnp.uint32(0)
+    ands = jnp.uint32(0)
+    for b in range(32):
+        bit = (keys >> jnp.uint32(b)) & jnp.uint32(1)
+        ors = ors | (jnp.max(bit) << jnp.uint32(b))
+        ands = ands | (jnp.min(bit) << jnp.uint32(b))
+    return ors ^ ands
+
+
+def _envelope_fn(keys):
+    devs = getattr(keys, "devices", None)
+    multi_cpu = False
+    if callable(devs):
+        ds = devs()
+        multi_cpu = len(ds) > 1 and all(d.platform == "cpu" for d in ds)
+    return _bit_envelope_minmax if multi_cpu else _bit_envelope
 
 
 def varying_key_bits(keys: jax.Array) -> tuple:
@@ -161,7 +186,7 @@ def varying_key_bits(keys: jax.Array) -> tuple:
     check_argument(keys.dtype == jnp.uint32, "keys must be uint32, got %s", keys.dtype)
     if keys.shape[0] <= 1:
         return ()
-    mask = int(_bit_envelope(keys))
+    mask = int(_envelope_fn(keys)(keys))
     return tuple(b for b in range(32) if (mask >> b) & 1)
 
 
@@ -299,9 +324,10 @@ def radix_sort_u64_parts(
     grouped movement each, no index payload and no gathers. The caller's
     arrays are copied once (not donated). bits=\"auto\" prunes constant key
     bits PER WORD (see radix_sort) — e.g. u64 keys below 2^40 skip the top
-    3 hi-word passes; explicit positions are not accepted here (they would
-    ambiguously apply to both words)."""
-    check_argument(bits in (None, "auto"), 'u64 sorts accept only bits=None or "auto"')
+    3 hi-word passes; explicit positions must be given as a PAIR
+    (hi_positions, lo_positions) — the trace-safe form the distributed
+    layer threads through shard_map (\"auto\" host-syncs and cannot run
+    under an enclosing trace)."""
     check_argument(
         keys_hi.ndim == 1 and keys_lo.ndim == 1 and values.ndim == 1,
         "keys_hi/keys_lo/values must be 1-D",
@@ -315,8 +341,17 @@ def radix_sort_u64_parts(
     if n <= 1:
         return keys_hi, keys_lo, values
     b = resolve_backend(backend)
-    pos_lo = _norm_bits(bits, keys_lo, 0)
-    pos_hi = _norm_bits(bits, keys_hi, 0)
+    if bits is None or isinstance(bits, str):
+        pos_lo = _norm_bits(bits, keys_lo, 0)
+        pos_hi = _norm_bits(bits, keys_hi, 0)
+    else:
+        pair = tuple(bits)
+        check_argument(
+            len(pair) == 2 and not any(isinstance(p, (int, str)) for p in pair),
+            "u64 explicit bits must be a (hi_positions, lo_positions) pair",
+        )
+        pos_hi = _norm_bits(tuple(pair[0]), keys_hi, 0)
+        pos_lo = _norm_bits(tuple(pair[1]), keys_lo, 0)
     lo1, (hi1, v1) = _radix_sort_streams(
         jnp.copy(keys_lo), (jnp.copy(keys_hi), jnp.copy(values)), NUM_PASSES, b, pos_lo
     )

@@ -44,7 +44,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.radix_sort import radix_sort, radix_sort_multi, radix_sort_u64_parts
+from ..ops.radix_sort import (
+    _norm_bits,
+    radix_sort,
+    radix_sort_multi,
+    radix_sort_u64_parts,
+)
 from ..utils.errors import check_argument
 
 _PAD_KEY = 0xFFFFFFFF
@@ -404,15 +409,19 @@ def _exchange_and_sort_chunked(
 
 def _dist_sort_shard(
     keys, values, *, axis_name, num_devices, capacity, recv_capacity,
-    num_samples, backend, exchange, num_chunks=1
+    num_samples, backend, exchange, num_chunks=1, bit_positions=None
 ):
-    """Per-shard body (runs under shard_map; keys/values are the local shard)."""
+    """Per-shard body (runs under shard_map; keys/values are the local shard).
+    bit_positions: static varying-bit tuple detected HOST-side on the global
+    array (bits="auto") — the local sorts prune to it; the 0xFFFFFFFF pad
+    keys are all-ones at every position, so they keep the maximal compact
+    digit and stay the exact tail, as in the full-width engine."""
     if num_devices == 1:
         # exact fast path: a 1-device mesh has nothing to sample, bucket, or
         # exchange — the composition IS the local sort (raises the measured
         # d=1 efficiency from 0.846 to ~raw-sort parity, DIST_TPU_d1.json)
         n = keys.shape[0]
-        out_k, out_v = radix_sort(keys, values, backend=backend)
+        out_k, out_v = radix_sort(keys, values, backend=backend, bits=bit_positions)
         return (
             out_k, out_v,
             jnp.full((1,), n, jnp.int32),
@@ -423,7 +432,7 @@ def _dist_sort_shard(
     if num_chunks > 1 and num_devices > 1:
         out, count, overflow = _exchange_and_sort_chunked(
             [keys, values], [_PAD_KEY, 0], bucket,
-            lambda k, v: radix_sort(k, v, backend=backend),
+            lambda k, v: radix_sort(k, v, backend=backend, bits=bit_positions),
             axis_name=axis_name, num_devices=num_devices, capacity=capacity,
             recv_capacity=recv_capacity, exchange=exchange, backend=backend,
             num_chunks=num_chunks,
@@ -438,7 +447,7 @@ def _dist_sort_shard(
         [_PAD_KEY, 0],
         counts,
         offsets,
-        lambda k, v: radix_sort(k, v, backend=backend),
+        lambda k, v: radix_sort(k, v, backend=backend, bits=bit_positions),
         axis_name=axis_name,
         num_devices=num_devices,
         capacity=capacity,
@@ -451,12 +460,14 @@ def _dist_sort_shard(
 
 def _dist_sort_shard64(
     hi, lo, values, *, axis_name, num_devices, capacity, recv_capacity,
-    num_samples, backend, exchange, num_chunks=1
+    num_samples, backend, exchange, num_chunks=1, bit_positions=None
 ):
-    """Per-shard body for 64-bit keys given as (hi, lo) u32 halves."""
+    """Per-shard body for 64-bit keys given as (hi, lo) u32 halves.
+    bit_positions: ((hi_positions, lo_positions)) pair or None — see
+    _dist_sort_shard."""
     if num_devices == 1:
         n = hi.shape[0]
-        oh, ol, ov = radix_sort_u64_parts(hi, lo, values, backend=backend)
+        oh, ol, ov = radix_sort_u64_parts(hi, lo, values, backend=backend, bits=bit_positions)
         return (
             oh, ol, ov,
             jnp.full((1,), n, jnp.int32),
@@ -467,7 +478,7 @@ def _dist_sort_shard64(
     if num_chunks > 1 and num_devices > 1:
         out, count, overflow = _exchange_and_sort_chunked(
             [hi, lo, values], [_PAD_KEY, _PAD_KEY, 0], bucket,
-            lambda h, l, v: radix_sort_u64_parts(h, l, v, backend=backend),
+            lambda h, l, v: radix_sort_u64_parts(h, l, v, backend=backend, bits=bit_positions),
             axis_name=axis_name, num_devices=num_devices, capacity=capacity,
             recv_capacity=recv_capacity, exchange=exchange, backend=backend,
             num_chunks=num_chunks,
@@ -482,7 +493,7 @@ def _dist_sort_shard64(
         [_PAD_KEY, _PAD_KEY, 0],
         counts,
         offsets,
-        lambda h, l, v: radix_sort_u64_parts(h, l, v, backend=backend),
+        lambda h, l, v: radix_sort_u64_parts(h, l, v, backend=backend, bits=bit_positions),
         axis_name=axis_name,
         num_devices=num_devices,
         capacity=capacity,
@@ -531,6 +542,7 @@ def distributed_radix_sort(
     max_retries: int = 3,
     descending: bool = False,
     pipeline_chunks: int = 1,
+    bits=None,
 ):
     """Globally sort sharded u32 (key, value) pairs across `mesh`.
 
@@ -577,6 +589,13 @@ def distributed_radix_sort(
     outputs are discarded). The device-side drop only ever reaches the caller
     on the final attempt. Each retry costs one host round trip for the flag
     fetch.
+
+    bits: entropy-adaptive bit pruning (see ops.radix_sort.radix_sort).
+    "auto" detects the GLOBAL varying-bit set with one reduction over the
+    sharded array (host sync) and every device's local sorts prune to it —
+    the final local sort is the dominant cost of the pipeline, so the win
+    matches the single-chip one (CHECK_ADAPTIVE_r03.json). Splitters and
+    bucket ranges are unaffected (they order by the full key).
     """
     num_devices = mesh.shape[axis_name]
     check_argument(keys.ndim == 1 and values.ndim == 1, "keys/values must be 1-D")
@@ -599,6 +618,7 @@ def distributed_radix_sort(
     )
     if descending:
         keys = ~keys  # bitwise NOT reverses u32 order; stability is preserved
+    bit_positions = _norm_bits(bits, keys, 0)  # "auto" reduces over the GLOBAL array
 
     def attempt(mult: float):
         # the chunked pipeline only engages on real meshes (the shard body
@@ -619,6 +639,7 @@ def distributed_radix_sort(
         fn = _dist_fn_u32(
             mesh, axis_name, num_devices, capacity, recv_capacity,
             min(num_samples, local_n), backend, exchange, chunks,
+            bit_positions,
         )
         return fn(keys, values)
 
@@ -630,7 +651,8 @@ def distributed_radix_sort(
 
 @lru_cache(maxsize=128)
 def _dist_fn_u32(mesh, axis_name, num_devices, capacity, recv_capacity,
-                 num_samples, backend, exchange, num_chunks=1):
+                 num_samples, backend, exchange, num_chunks=1,
+                 bit_positions=None):
     """Cached jitted shard_map program for the u32 pipeline. A fresh
     partial + jax.jit per call has a new function identity, so jit's own
     cache never hits and EVERY invocation recompiles the whole program —
@@ -650,6 +672,7 @@ def _dist_fn_u32(mesh, axis_name, num_devices, capacity, recv_capacity,
         backend=backend,
         exchange=exchange,
         num_chunks=num_chunks,
+        bit_positions=bit_positions,
     )
     return jax.jit(
         jax.shard_map(
@@ -664,7 +687,8 @@ def _dist_fn_u32(mesh, axis_name, num_devices, capacity, recv_capacity,
 
 @lru_cache(maxsize=128)
 def _dist_fn_u64(mesh, axis_name, num_devices, capacity, recv_capacity,
-                 num_samples, backend, exchange, num_chunks=1):
+                 num_samples, backend, exchange, num_chunks=1,
+                 bit_positions=None):
     """Cached jitted shard_map program for the (hi, lo) 64-bit pipeline."""
     spec = jax.sharding.PartitionSpec(axis_name)
     body = partial(
@@ -677,6 +701,7 @@ def _dist_fn_u64(mesh, axis_name, num_devices, capacity, recv_capacity,
         backend=backend,
         exchange=exchange,
         num_chunks=num_chunks,
+        bit_positions=bit_positions,
     )
     return jax.jit(
         jax.shard_map(
@@ -773,6 +798,7 @@ def distributed_radix_sort_u64_parts(
     max_retries: int = 3,
     descending: bool = False,
     pipeline_chunks: int = 1,
+    bits=None,
 ):
     """Globally sort sharded 64-bit keys given as (hi, lo) u32 halves, with
     u32 values, across `mesh` — the distributed form of the single-chip
@@ -784,7 +810,9 @@ def distributed_radix_sort_u64_parts(
     bucket partition runs one stable partial sort per payload, and the local
     sort is the chained 32-bit LSD composition. Returns
     (hi, lo, values, counts, overflow); pad slots hold hi = lo = 0xFFFFFFFF
-    (0x00000000 when descending).
+    (0x00000000 when descending). bits="auto" prunes constant bits PER
+    WORD, detected host-side on the global (hi, lo) arrays (see
+    distributed_radix_sort).
     """
     num_devices = mesh.shape[axis_name]
     for name, a in (("keys_hi", keys_hi), ("keys_lo", keys_lo), ("values", values)):
@@ -809,6 +837,10 @@ def distributed_radix_sort_u64_parts(
     )
     if descending:
         keys_hi, keys_lo = ~keys_hi, ~keys_lo  # complementing both words reverses u64 order
+    check_argument(bits in (None, "auto"), 'distributed u64 sorts accept only bits=None or "auto"')
+    bit_positions = None
+    if bits == "auto":
+        bit_positions = (_norm_bits(bits, keys_hi, 0), _norm_bits(bits, keys_lo, 0))
 
     def attempt(mult: float):
         eff_chunks = chunks if num_devices > 1 else 1
@@ -823,6 +855,7 @@ def distributed_radix_sort_u64_parts(
         fn = _dist_fn_u64(
             mesh, axis_name, num_devices, capacity, recv_capacity,
             min(num_samples, local_n), backend, exchange, chunks,
+            bit_positions,
         )
         return fn(keys_hi, keys_lo, values)
 

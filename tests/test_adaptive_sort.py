@@ -221,3 +221,92 @@ def test_multiblock_adaptive(tiny_engine_adaptive, seeded_rng):
     order = _masked_order(keys, pos)
     np.testing.assert_array_equal(np.asarray(out_k), keys[order])
     np.testing.assert_array_equal(np.asarray(out_v), order.astype(np.uint32))
+
+
+# -------------------------- distributed adaptive sorts (8-dev CPU mesh) ----
+
+def _dist_run_adaptive(keys, bits, **kw):
+    import jax
+    from glu_tpu.parallel import distributed_radix_sort, make_sort_mesh
+
+    nd = min(8, len(jax.devices()))
+    mesh = make_sort_mesh(jax.devices()[:nd])
+    spec = jax.sharding.PartitionSpec("shards")
+    sharding = jax.sharding.NamedSharding(mesh, spec)
+    vals = np.arange(keys.size, dtype=np.uint32)
+    k = jax.device_put(jnp.asarray(keys), sharding)
+    v = jax.device_put(jnp.asarray(vals), sharding)
+    out_k, out_v, counts, overflow = distributed_radix_sort(
+        k, v, mesh, bits=bits, **kw
+    )
+    assert int(np.asarray(overflow)[0]) == 0
+    out_k, out_v, counts = np.asarray(out_k), np.asarray(out_v), np.asarray(counts)
+    per = out_k.shape[0] // nd
+    gk = np.concatenate([out_k[d * per : d * per + counts[d]] for d in range(nd)])
+    gv = np.concatenate([out_v[d * per : d * per + counts[d]] for d in range(nd)])
+    return gk, gv
+
+
+@pytest.mark.parametrize("bits", ["auto", tuple(range(6))])
+def test_dist_sort_adaptive_low_entropy(seeded_rng, bits):
+    keys = seeded_rng(21).sample_int_vector(8 * 2048, 0, 0xFFFFFFFE) % np.uint32(10)
+    gk, gv = _dist_run_adaptive(keys, bits)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(gk, keys[order])
+    np.testing.assert_array_equal(gv, order.astype(np.uint32))
+
+
+def test_dist_sort_adaptive_descending_and_chunked(seeded_rng):
+    keys = seeded_rng(22).sample_int_vector(8 * 2048, 0, 999)
+    gk, gv = _dist_run_adaptive(keys, "auto", descending=True, pipeline_chunks=2)
+    order = np.argsort(~keys, kind="stable")
+    np.testing.assert_array_equal(gk, keys[order])
+    np.testing.assert_array_equal(gv, order.astype(np.uint32))
+
+
+def test_dist_sort_u64_adaptive(seeded_rng):
+    import jax
+    from glu_tpu.parallel import distributed_radix_sort_u64_parts, make_sort_mesh
+
+    rng = seeded_rng(23)
+    n = 8 * 1024
+    hi = rng.sample_int_vector(n, 0, 7)
+    lo = rng.sample_int_vector(n, 0, 0xFFFF)
+    vals = np.arange(n, dtype=np.uint32)
+    nd = min(8, len(jax.devices()))
+    mesh = make_sort_mesh(jax.devices()[:nd])
+    spec = jax.sharding.PartitionSpec("shards")
+    sharding = jax.sharding.NamedSharding(mesh, spec)
+    oh, ol, ov, counts, overflow = distributed_radix_sort_u64_parts(
+        jax.device_put(jnp.asarray(hi), sharding),
+        jax.device_put(jnp.asarray(lo), sharding),
+        jax.device_put(jnp.asarray(vals), sharding),
+        mesh, bits="auto",
+    )
+    assert int(np.asarray(overflow)[0]) == 0
+    oh, ol, ov, counts = map(np.asarray, (oh, ol, ov, counts))
+    per = oh.shape[0] // nd
+    gh = np.concatenate([oh[d * per : d * per + counts[d]] for d in range(nd)])
+    gl = np.concatenate([ol[d * per : d * per + counts[d]] for d in range(nd)])
+    gv = np.concatenate([ov[d * per : d * per + counts[d]] for d in range(nd)])
+    full = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+    order = np.argsort(full, kind="stable")
+    np.testing.assert_array_equal(gh, hi[order])
+    np.testing.assert_array_equal(gl, lo[order])
+    np.testing.assert_array_equal(gv, order.astype(np.uint32))
+
+
+def test_u64_parts_explicit_bit_pair(backend, seeded_rng):
+    """The trace-safe (hi_positions, lo_positions) form the dist layer uses."""
+    rng = seeded_rng(24)
+    hi = rng.sample_int_vector(3000, 0, 7)
+    lo = rng.sample_int_vector(3000, 0, 0xFFFF)
+    vals = np.arange(3000, dtype=np.uint32)
+    oh, ol, ov = radix_sort_u64_parts(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(vals),
+        backend=backend, bits=((0, 1, 2), tuple(range(16))),
+    )
+    full = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+    order = np.argsort(full, kind="stable")
+    np.testing.assert_array_equal(np.asarray(oh), hi[order])
+    np.testing.assert_array_equal(np.asarray(ov), order.astype(np.uint32))
