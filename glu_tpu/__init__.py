@@ -33,6 +33,7 @@ from .ops.reduce import Reduce, ReduceOperator, reduce
 from .ops.scan import BlellochScan, exclusive_scan, inclusive_scan
 from .ops.radix_sort import (
     RadixSort,
+    radix_argsort,
     radix_sort,
     radix_sort_f32,
     radix_sort_i32,
@@ -80,5 +81,6 @@ __all__ = [
     "radix_sort_segmented",
     "radix_sort_u64",
     "radix_sort_u64_parts",
+    "radix_argsort",
     "varying_key_bits",
 ]

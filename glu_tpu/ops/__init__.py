@@ -15,6 +15,7 @@ from .reduce import Reduce, ReduceOperator, reduce
 from .scan import BlellochScan, exclusive_scan, inclusive_scan
 from .radix_sort import (
     RadixSort,
+    radix_argsort,
     radix_sort,
     radix_sort_f32,
     radix_sort_i32,

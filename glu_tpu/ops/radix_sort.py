@@ -305,6 +305,32 @@ def radix_sort_multi(
     return _radix_sort_streams(keys, payloads, steps, resolve_backend(backend), positions)
 
 
+def radix_argsort(
+    keys: jax.Array,
+    *,
+    backend: str | None = None,
+    descending: bool = False,
+    bits=None,
+):
+    """Stable argsort of u32 keys: returns (sorted_keys, order) where
+    `order` is the u32 permutation such that sorted_keys == keys[order] —
+    the iota-payload composition every \"give me the permutation\" caller
+    otherwise writes by hand (the reference has no argsort; its mandatory
+    value payload IS the user's own iota in its stability test,
+    test/radix_sort_tests.cpp:111-141). Supports descending= and the
+    bits= pruning extension. `keys` is donated: treat it as consumed."""
+    check_argument(keys.ndim == 1, "keys must be 1-D")
+    check_argument(keys.dtype == jnp.uint32, "keys must be uint32, got %s", keys.dtype)
+    n = keys.shape[0]
+    check_argument(n < (1 << 32), "argsort indices exceed uint32")
+    if n <= 1:
+        return keys, jnp.arange(n, dtype=jnp.uint32)
+    return radix_sort(
+        keys, jnp.arange(n, dtype=jnp.uint32),
+        backend=backend, descending=descending, bits=bits,
+    )
+
+
 def radix_sort_u64_parts(
     keys_hi: jax.Array,
     keys_lo: jax.Array,

@@ -310,3 +310,19 @@ def test_u64_parts_explicit_bit_pair(backend, seeded_rng):
     order = np.argsort(full, kind="stable")
     np.testing.assert_array_equal(np.asarray(oh), hi[order])
     np.testing.assert_array_equal(np.asarray(ov), order.astype(np.uint32))
+
+
+def test_radix_argsort(backend, seeded_rng):
+    from glu_tpu import radix_argsort
+
+    keys = seeded_rng(30).sample_int_vector(5000, 0, 999)
+    ok_, order = radix_argsort(jnp.asarray(keys), backend=backend)
+    o = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(order), o.astype(np.uint32))
+    np.testing.assert_array_equal(np.asarray(ok_), keys[o])
+    # descending + adaptive compose
+    ok_, order = radix_argsort(
+        jnp.asarray(keys), backend=backend, descending=True, bits="auto"
+    )
+    o = np.argsort(~keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(order), o.astype(np.uint32))
