@@ -3,7 +3,7 @@
 Times, with chained iterations at 64 blocks (8.4M elems, R=1024):
   group   — production _group_pass (with counts) per 4-bit pass
   split4  — 4 bit-splits only, no counts (group minus counts)
-  splice  — production _splice_kv over realistic descriptors
+  splice  — production _splice_streams over realistic descriptors
   glue    — _run_descriptors alone
   pass    — one full production pass (group + glue + splice)
 """
@@ -46,7 +46,7 @@ def chain_time(fn, args, iters=8):
 def main():
     want = sys.argv[1:] or ["group", "splice", "glue", "pass"]
     rng = np.random.default_rng(1)
-    slack = ps._slack_rows()
+    slack = ps._slack_rows(*ps._chunk_rows(R))
     rows = NB * R
     k2 = jnp.asarray(
         np.vstack([rng.integers(0, 1 << 32, (rows, LANES), dtype=np.uint32),
@@ -58,23 +58,25 @@ def main():
 
     if "group" in want:
         def fn(k, v):
-            gk, gv, cnt = ps._group_pass(shift, k, v, R, False, NB)
-            return gk, gv
+            gk, gvs, cnt = ps._group_pass(shift, k, [v], R, False, NB)
+            return gk, gvs[0]
         t = chain_time(fn, (k2, v2))
         print(f"group : {t*1e3:8.3f} ms/pass  {t/N*1e12:6.1f} ps/elem", flush=True)
 
     if "splice" in want:
-        gk, gv, cnt = ps._group_pass(shift, k2, v2, R, False, NB)
+        gk, gvs, cnt = ps._group_pass(shift, k2, [v2], R, False, NB)
+        gv = gvs[0]
         srcs, dsts, lens = ps._run_descriptors(cnt, R)
         def fn(a, b):
-            return ps._splice_kv(srcs, dsts, lens, a, b, rows + slack, False)
+            ch, rd = ps._chunk_rows(R)
+            return tuple(ps._splice_streams(srcs, dsts, lens, [a, b], rows + slack, ch, rd, False))
         t = chain_time(fn, (gk, gv))
         nruns = int(srcs.shape[0])
         print(f"splice: {t*1e3:8.3f} ms/pass  {t/N*1e12:6.1f} ps/elem  "
               f"({nruns} runs, {t/nruns*1e9:.0f} ns/run)", flush=True)
 
     if "glue" in want:
-        gk, gv, cnt = ps._group_pass(shift, k2, v2, R, False, NB)
+        gk, gvs, cnt = ps._group_pass(shift, k2, [v2], R, False, NB)
         def fn(c):
             s, d, l = ps._run_descriptors(c, R)
             return (s + d + l,)
@@ -83,9 +85,10 @@ def main():
 
     if "pass" in want:
         def fn(k, v):
-            gk, gv, cnt = ps._group_pass(shift, k, v, R, False, NB)
+            gk, gvs, cnt = ps._group_pass(shift, k, [v], R, False, NB)
             s, d, l = ps._run_descriptors(cnt, R)
-            return ps._splice_kv(s, d, l, gk, gv, rows + slack, False)
+            ch, rd = ps._chunk_rows(R)
+            return tuple(ps._splice_streams(s, d, l, [gk] + gvs, rows + slack, ch, rd, False))
         t = chain_time(fn, (k2, v2))
         print(f"pass  : {t*1e3:8.3f} ms/pass  {t/N*1e12:6.1f} ps/elem "
               f"-> {1/(8*t/N)/1e6:.1f} M keys/s whole-sort-equiv", flush=True)
