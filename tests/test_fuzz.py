@@ -138,3 +138,33 @@ def test_fuzz_dist_chunked(trial):
     order = np.argsort(k, kind="stable")
     np.testing.assert_array_equal(gk, k[order])
     np.testing.assert_array_equal(gv, order.astype(np.uint32))
+
+
+@pytest.mark.parametrize("trial", range(10))
+def test_fuzz_adaptive_bits(trial, backend):
+    """Random bit subsets (contiguous, sparse, auto-detected on randomly
+    masked keys) against a host oracle of the compact key — breadth for the
+    bit-pruned engine path beyond the fixed cases in test_adaptive_sort."""
+    rng = np.random.default_rng(4000 + trial)
+    n = int(rng.integers(2, 8193))
+    if trial % 2 == 0:
+        # explicit random subset, random size 1..32
+        nbits = int(rng.integers(1, 33))
+        positions = tuple(sorted(rng.choice(32, size=nbits, replace=False).tolist()))
+        k = rng.integers(0, 1 << 32, n, dtype=np.uint32)
+        bits = positions
+    else:
+        # auto on randomly masked keys (random constant bits, random values)
+        mask = np.uint32(rng.integers(0, 1 << 32, dtype=np.uint64))
+        base = np.uint32(rng.integers(0, 1 << 32, dtype=np.uint64)) & ~mask
+        k = (rng.integers(0, 1 << 32, n, dtype=np.uint32) & mask) | base
+        positions = tuple(b for b in range(32) if (int(mask) >> b) & 1)
+        bits = "auto"
+    v = np.arange(n, dtype=np.uint32)
+    gk, gv = radix_sort(jnp.asarray(k), jnp.asarray(v), backend=backend, bits=bits)
+    comp = np.zeros(n, np.uint64)
+    for j, p in enumerate(positions):
+        comp |= ((k.astype(np.uint64) >> p) & 1) << np.uint64(j)
+    order = np.argsort(comp, kind="stable")
+    np.testing.assert_array_equal(np.asarray(gk), k[order])
+    np.testing.assert_array_equal(np.asarray(gv), order.astype(np.uint32))
