@@ -391,6 +391,7 @@ def radix_sort_segmented(
     num_partitions: int = 1,
     *,
     backend: str | None = None,
+    bits=None,
 ):
     """Stably sort (keys, values) independently within `num_partitions`
     adjacent, equal-length segments — the sort-side analog of the scan's
@@ -403,6 +404,8 @@ def radix_sort_segmented(
     carrying (key, value). Stability of the second sort preserves the key
     order within each segment, so the result is a per-segment stable key
     sort. No gathers: every permutation is applied by the engine itself.
+    bits= prunes the KEY sort (see radix_sort); the segment-id passes are
+    already minimal.
     """
     check_argument(keys.ndim == 1 and values.ndim == 1, "keys/values must be 1-D")
     check_argument(keys.shape == values.shape, "keys/values length mismatch")
@@ -413,16 +416,17 @@ def radix_sort_segmented(
     check_argument(p >= 1, "num_partitions must be >= 1")
     check_argument(n % p == 0, "count (%d) must divide into %d partitions", n, p)
     if p == 1:
-        return radix_sort(keys, values, backend=backend)
+        return radix_sort(keys, values, backend=backend, bits=bits)
     if n <= 1:
         return keys, values
     b = resolve_backend(backend)
     seg_bits = max(1, (p - 1).bit_length())
     seg_steps = -(-seg_bits // RADIX_BITS)  # ceil: passes covering segment ids
     part = n // p
+    positions = _norm_bits(bits, keys, 0)
     idx = jnp.arange(n, dtype=jnp.uint32)
     k1, (v1, p1) = _radix_sort_streams(
-        jnp.copy(keys), (jnp.copy(values), idx), NUM_PASSES, b
+        jnp.copy(keys), (jnp.copy(values), idx), NUM_PASSES, b, positions
     )
     seg1 = p1 // jnp.uint32(part)  # segment id of each key-sorted element
     _, (k2, v2) = _radix_sort_streams(seg1, (k1, v1), seg_steps, b)

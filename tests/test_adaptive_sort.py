@@ -326,3 +326,21 @@ def test_radix_argsort(backend, seeded_rng):
     )
     o = np.argsort(~keys, kind="stable")
     np.testing.assert_array_equal(np.asarray(order), o.astype(np.uint32))
+
+
+def test_segmented_adaptive(backend, seeded_rng):
+    from glu_tpu import radix_sort_segmented
+
+    keys = seeded_rng(31).sample_int_vector(4096, 0, 99)
+    vals = np.arange(4096, dtype=np.uint32)
+    out_k, out_v = radix_sort_segmented(
+        jnp.asarray(keys), jnp.asarray(vals), 16, backend=backend, bits="auto"
+    )
+    ek, ev = [], []
+    for s in range(16):
+        seg = slice(s * 256, (s + 1) * 256)
+        o = np.argsort(keys[seg], kind="stable")
+        ek.append(keys[seg][o])
+        ev.append(vals[seg][o])
+    np.testing.assert_array_equal(np.asarray(out_k), np.concatenate(ek))
+    np.testing.assert_array_equal(np.asarray(out_v), np.concatenate(ev))
