@@ -307,8 +307,14 @@ def _splice_kernel_factory(ns: int, ch: int, rd: int):
     to step i+1 (which must wait anyway before touching the shared
     boundary row). Every step issues exactly one read set and one write
     set (dummy transfers into the slack region for empty runs) so the
-    semaphore accounting is static. Runs longer than ch fall back to
-    an inline serial path for their extra chunks (sem_x).
+    semaphore accounting is static. Runs longer than ch take an inline
+    extra-chunk loop that is ITSELF double-buffered (slots 2/3, sem_x
+    reads / sem_xw writes): chunk c+1's read is in flight under chunk c's
+    rotate+write, and chunk c's write completion is deferred two chunks.
+    Long runs are exactly the skewed-digit case (low-entropy/zipf keys
+    collapse whole blocks into one run per pass), so this loop must stream
+    at DMA rate — the round-3 serial start-wait-per-chunk form cost 25%
+    of whole-sort throughput on low-entropy keys (CHECK_r03.json).
 
     Index algebra: delta = dst - src, rot = delta mod 128,
     dq = (delta - rot)/128. Output row j, lane l takes
@@ -321,7 +327,7 @@ def _splice_kernel_factory(ns: int, ch: int, rd: int):
     carry scratch holds the previous run's last output row for the boundary
     merge."""
 
-    def body(s_ref, d_ref, l_ref, *refs):
+    def body(s_ref, d_ref, l_ref, n_ref, *refs):
         src_refs = refs[:ns]
         dst_refs = refs[ns : 2 * ns]
         rbufs = refs[2 * ns : 3 * ns]
@@ -330,9 +336,13 @@ def _splice_kernel_factory(ns: int, ch: int, rd: int):
         sem_rd = refs[5 * ns]
         sem_wr = refs[5 * ns + 1]
         sem_x = refs[5 * ns + 2]
+        sem_xw = refs[5 * ns + 3]
 
-        i = pl.program_id(0)
-        nruns = pl.num_programs(0)
+        # the dynamic run count rides in SMEM rather than pl.num_programs:
+        # the HLO interpreter's transforms feed num_programs back at the
+        # x64-default width, tripping dtype checks in recorded comparisons
+        i = jnp.asarray(pl.program_id(0), jnp.int32)
+        nruns = n_ref[0]
         slack_row = dst_refs[0].shape[0] - ch  # dummy-write target in slack
 
         def rd0_of(run):
@@ -388,6 +398,37 @@ def _splice_kernel_factory(ns: int, ch: int, rd: int):
         rows2 = _rows((ch, LANES))
         idx = (lanes2 - rot) % LANES
 
+        # extra-chunk (long-run) copy sets: chunk c >= 1 of this run, double-
+        # buffered through rbuf/wbuf slots 2+pslot
+        def xread(c, pslot):
+            hi0c = dst_r0 + c * ch - dq
+            rd0c = jnp.maximum(hi0c - 1, 0)
+            return [
+                pltpu.make_async_copy(
+                    src_refs[s].at[pl.ds(rd0c, rd), :],
+                    rbufs[s].at[2 + pslot],
+                    sem_x.at[pslot, s],
+                )
+                for s in range(ns)
+            ]
+
+        def xwrite(c, pslot):
+            return [
+                pltpu.make_async_copy(
+                    wbufs[s].at[2 + pslot],
+                    dst_refs[s].at[pl.ds(dst_r0 + c * ch, ch), :],
+                    sem_xw.at[pslot, s],
+                )
+                for s in range(ns)
+            ]
+
+        # prime the extra-chunk pipeline before chunk 0's VPU work so the
+        # first extra read rides under it
+        @pl.when(nchunks > 1)
+        def _():
+            for cp in xread(1, 0):
+                cp.start()
+
         def rotate(tile_hi, tile_lo, carry, is_first):
             a = jnp.take_along_axis(tile_hi, idx, axis=1)
             b = jnp.take_along_axis(tile_lo, idx, axis=1)
@@ -436,50 +477,58 @@ def _splice_kernel_factory(ns: int, ch: int, rd: int):
                 sem_wr.at[slot, s],
             ).start()
 
-        # --- extra chunks (serial path, rare: run longer than ch) -----
+        # --- extra chunks (long runs: skewed digit histograms) ------------
+        # double-buffered streaming loop; chunk 1's read was primed above
         @pl.when(nchunks > 1)
         def _():
             def chunk_body(c, _):
+                c = jnp.asarray(c, jnp.int32)  # x64 fori_loop widens the index
+                pslot = (c - 1) % 2
+                for cp in xread(c, pslot):
+                    cp.wait()
+
+                @pl.when(c + 1 < nchunks)
+                def _():
+                    for cp in xread(c + 1, 1 - pslot):
+                        cp.start()
+
+                # chunk c-2 wrote from this wbuf slot; its DMA must land
+                # before the rotate below overwrites the buffer
+                @pl.when(c >= 3)
+                def _():
+                    for cp in xwrite(c - 2, pslot):
+                        cp.wait()
+
                 hi0c = dst_r0 + c * ch - dq
                 rd0c = jnp.maximum(hi0c - 1, 0)
                 basec = hi0c - rd0c
-                rds = [
-                    pltpu.make_async_copy(
-                        src_refs[s].at[pl.ds(rd0c, rd), :],
-                        rbufs[s].at[2],
-                        sem_x.at[0, s],
-                    )
-                    for s in range(ns)
-                ]
-                for cp in rds:
-                    cp.start()
-                for cp in rds:
-                    cp.wait()
                 for s in range(ns):
-                    hi, lo_ = tiles(rbufs[s], 2, basec)
-                    wbufs[s][2] = rotate(hi, lo_, carries[s], False)
+                    hi, lo_ = tiles(rbufs[s], 2 + pslot, basec)
+                    wbufs[s][2 + pslot] = rotate(hi, lo_, carries[s], False)
                 lastc = last0 - c * ch
 
                 @pl.when((lastc >= 0) & (lastc < ch))
                 def _():
                     for s in range(ns):
-                        carries[s][0] = wbufs[s][2, lastc, :]
+                        carries[s][0] = wbufs[s][2 + pslot, lastc, :]
 
-                wrs = [
-                    pltpu.make_async_copy(
-                        wbufs[s].at[2],
-                        dst_refs[s].at[pl.ds(dst_r0 + c * ch, ch), :],
-                        sem_x.at[1, s],
-                    )
-                    for s in range(ns)
-                ]
-                for cp in wrs:
+                for cp in xwrite(c, pslot):
                     cp.start()
-                for cp in wrs:
-                    cp.wait()
                 return 0
 
             jax.lax.fori_loop(1, nchunks, chunk_body, 0)
+
+            # drain the (up to two) outstanding extra writes: the next run
+            # rewrites our spill rows and must order after them
+            last_c = nchunks - 1
+
+            @pl.when(last_c >= 2)
+            def _():
+                for cp in xwrite(last_c - 1, (last_c - 2) % 2):
+                    cp.wait()
+
+            for cp in xwrite(last_c, (last_c - 1) % 2):
+                cp.wait()
 
         # drain the last step's own write
         @pl.when(i == nruns - 1)
@@ -489,42 +538,52 @@ def _splice_kernel_factory(ns: int, ch: int, rd: int):
     return body
 
 
-def _splice_streams(srcs, dsts, lens, streams, total_rows, ch, rd, interpret):
+def _splice_streams(srcs, dsts, lens, nruns, streams, total_rows, ch, rd, interpret):
     """K2: sequential run splicer over `streams` (list of (rows, 128) padded
     sources moved with shared descriptors, ch-row chunks / rd-row reads).
-    Returns the spliced list."""
+    `nruns` is the traced count of non-empty descriptors (dynamic grid —
+    empty slots beyond it are never dispatched). Returns the spliced list."""
     ns = len(streams)
-    nruns = srcs.shape[0]
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
     out_shape = [jax.ShapeDtypeStruct((total_rows, LANES), jnp.uint32)] * ns
     outs = pl.pallas_call(
         _splice_kernel_factory(ns, ch, rd),
         grid=(nruns,),
-        in_specs=[smem, smem, smem] + [anyspec] * ns,
+        in_specs=[smem, smem, smem, smem] + [anyspec] * ns,
         out_specs=[anyspec] * ns,
         out_shape=out_shape,
         scratch_shapes=(
-            [pltpu.VMEM((3, rd, LANES), jnp.uint32) for _ in range(ns)]  # read bounce (2 pipelined + 1 serial)
-            + [pltpu.VMEM((3, ch, LANES), jnp.uint32) for _ in range(ns)]   # write bounce
+            [pltpu.VMEM((4, rd, LANES), jnp.uint32) for _ in range(ns)]  # read bounce (2 run-pipelined + 2 extra-chunk)
+            + [pltpu.VMEM((4, ch, LANES), jnp.uint32) for _ in range(ns)]   # write bounce
             + [pltpu.VMEM((8, LANES), jnp.uint32) for _ in range(ns)]            # carry (row 0)
             + [
                 pltpu.SemaphoreType.DMA((2, ns)),  # pipelined reads
                 pltpu.SemaphoreType.DMA((2, ns)),  # pipelined writes
-                pltpu.SemaphoreType.DMA((2, ns)),  # serial extra chunks
+                pltpu.SemaphoreType.DMA((2, ns)),  # extra-chunk reads
+                pltpu.SemaphoreType.DMA((2, ns)),  # extra-chunk writes
             ]
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(srcs, dsts, lens, *streams)
+    )(srcs, dsts, lens, nruns.reshape(1), *streams)
     return list(outs)
 
 
 def _run_descriptors(counts, R):
-    """counts: (B, 16) per-block digit counts. Returns (srcs, dsts, lens)
-    flat run descriptors in bucket-major (ascending dst) order — the glue
-    replacing the reference's BlellochScan over [digit][block]
-    (RadixSort.hpp:311)."""
+    """counts: (B, 16) per-block digit counts. Returns (srcs, dsts, lens,
+    nruns) flat run descriptors in bucket-major (ascending dst) order — the
+    glue replacing the reference's BlellochScan over [digit][block]
+    (RadixSort.hpp:311).
+
+    EMPTY runs are compacted out and `nruns` (traced i32) counts the
+    survivors: the splicer's grid is dynamic, so empty descriptor slots are
+    never dispatched. Skewed digit histograms (low-entropy/zipf keys) leave
+    most of the B*16 slots empty — before compaction each one still cost a
+    full-size dummy read+write (rd+ch rows/stream into slack), 2.5x the
+    USEFUL splice traffic on %10 keys. Compaction is order-preserving, so
+    the ascending-dst spill-rewrite invariant survives; the tail beyond
+    `nruns` stays zeroed (len 0 = dummy) as a safety net."""
     B = counts.shape[0]
     inblock = jnp.cumsum(counts, axis=1) - counts            # (B,FIELDS) src offset in block
     srcs = (jnp.arange(B, dtype=jnp.int32)[:, None] * (R * LANES) + inblock).T.reshape(-1)
@@ -533,7 +592,16 @@ def _run_descriptors(counts, R):
     digit_base = jnp.cumsum(totals) - totals                 # (FIELDS,)
     dsts = (digit_base[None, :] + per_digit).T.reshape(-1)
     lens = counts.T.reshape(-1)
-    return srcs.astype(jnp.int32), dsts.astype(jnp.int32), lens.astype(jnp.int32)
+    mask = lens > 0
+    nruns = jnp.sum(mask.astype(jnp.int32))
+    tgt = jnp.where(mask, jnp.cumsum(mask.astype(jnp.int32)) - 1, mask.shape[0])
+    compact = lambda a: jnp.zeros_like(a).at[tgt].set(a, mode="drop")
+    return (
+        compact(srcs.astype(jnp.int32)),
+        compact(dsts.astype(jnp.int32)),
+        compact(lens.astype(jnp.int32)),
+        jnp.maximum(nruns, 1),  # grid >= 1; an all-empty slot 0 is a dummy
+    )
 
 
 # SMEM budget for the splice run descriptors (srcs/dsts/lens are scalar
@@ -686,8 +754,8 @@ def pallas_radix_sort_streams(keys: jax.Array, payloads, num_steps: int, bit_pos
     for g in groups:
         pos_arr = jnp.array(g, dtype=jnp.int32)
         gk, gvs, counts = _group_pass(pos_arr, k2, v2s, R, interp, num_blocks, nbits=len(g))
-        srcs, dsts, lens = _run_descriptors(counts, R)
-        spliced = _splice_streams(srcs, dsts, lens, [gk] + gvs, rows_slacked, ch, rd, interp)
+        srcs, dsts, lens, nruns = _run_descriptors(counts, R)
+        spliced = _splice_streams(srcs, dsts, lens, nruns, [gk] + gvs, rows_slacked, ch, rd, interp)
         k2, v2s = spliced[0], spliced[1:]
 
     out_k = k2[:total_rows].reshape(-1)[:n]

@@ -66,10 +66,10 @@ def main():
     if "splice" in want:
         gk, gvs, cnt = ps._group_pass(shift, k2, [v2], R, False, NB)
         gv = gvs[0]
-        srcs, dsts, lens = ps._run_descriptors(cnt, R)
+        srcs, dsts, lens, nruns_d = ps._run_descriptors(cnt, R)
         def fn(a, b):
             ch, rd = ps._chunk_rows(R)
-            return tuple(ps._splice_streams(srcs, dsts, lens, [a, b], rows + slack, ch, rd, False))
+            return tuple(ps._splice_streams(srcs, dsts, lens, nruns_d, [a, b], rows + slack, ch, rd, False))
         t = chain_time(fn, (gk, gv))
         nruns = int(srcs.shape[0])
         print(f"splice: {t*1e3:8.3f} ms/pass  {t/N*1e12:6.1f} ps/elem  "
@@ -78,17 +78,17 @@ def main():
     if "glue" in want:
         gk, gvs, cnt = ps._group_pass(shift, k2, [v2], R, False, NB)
         def fn(c):
-            s, d, l = ps._run_descriptors(c, R)
-            return (s + d + l,)
+            s, d, l, nr = ps._run_descriptors(c, R)
+            return (s + d + l + nr,)
         t = chain_time(lambda c: fn(c), (cnt,))
         print(f"glue  : {t*1e3:8.3f} ms/pass  {t/N*1e12:6.1f} ps/elem", flush=True)
 
     if "pass" in want:
         def fn(k, v):
             gk, gvs, cnt = ps._group_pass(shift, k, [v], R, False, NB)
-            s, d, l = ps._run_descriptors(cnt, R)
+            s, d, l, nr = ps._run_descriptors(cnt, R)
             ch, rd = ps._chunk_rows(R)
-            return tuple(ps._splice_streams(s, d, l, [gk] + gvs, rows + slack, ch, rd, False))
+            return tuple(ps._splice_streams(s, d, l, nr, [gk] + gvs, rows + slack, ch, rd, False))
         t = chain_time(fn, (k2, v2))
         print(f"pass  : {t*1e3:8.3f} ms/pass  {t/N*1e12:6.1f} ps/elem "
               f"-> {1/(8*t/N)/1e6:.1f} M keys/s whole-sort-equiv", flush=True)

@@ -75,6 +75,40 @@ def test_multiblock_constant_keys(tiny_engine):
     _check(np.full(7000, 0xDEADBEEF, dtype=np.uint32))
 
 
+@pytest.fixture
+def deep_chunk_engine(monkeypatch):
+    """64-row blocks with 8-row splice chunks: a degenerate digit run spans
+    up to 9 chunks, driving the extra-chunk DOUBLE-BUFFERED loop well past
+    its pipeline depth (c>=3 write-buffer reuse waits + the two-write
+    drain) — the shrunken tiny_engine geometry caps nchunks at 3, which
+    never reuses a write slot."""
+    import importlib
+
+    from glu_tpu.ops import _pallas_sort as ps
+
+    rs = importlib.import_module("glu_tpu.ops.radix_sort")
+    monkeypatch.setenv("GLU_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setattr(ps, "BLOCK_R", 64)
+    monkeypatch.setattr(ps, "CH_ROWS", 8)
+    monkeypatch.setattr(ps, "_READ_ROWS", 16)
+    rs._radix_sort_streams.clear_cache()
+    yield ps
+    rs._radix_sort_streams.clear_cache()
+
+
+def test_deep_chunk_constant_keys(deep_chunk_engine):
+    # one 64-row run per block per pass: nchunks = 9 every splice
+    _check(np.full(3 * 64 * 128, 0xCAFEBABE, dtype=np.uint32))
+
+
+@pytest.mark.parametrize("lo_vals", [2, 3])
+def test_deep_chunk_skewed_runs(lo_vals, deep_chunk_engine, seeded_rng):
+    # {0..lo_vals-1} keys: long multi-chunk runs landing at MISALIGNED lane
+    # offsets (carry rows chained through the double-buffered chunk loop)
+    keys = seeded_rng(57 + lo_vals).sample_int_vector(3 * 64 * 128 + 517, 0, lo_vals - 1)
+    _check(keys)
+
+
 @pytest.mark.parametrize("kind", ["presorted", "reverse"])
 def test_multiblock_adversarial_orders(kind, tiny_engine):
     keys = np.arange(6100, dtype=np.uint32)
