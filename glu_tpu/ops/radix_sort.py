@@ -15,8 +15,10 @@ re-maps every stage:
     counting per VMEM tile;
   - the 16 serial in-block shared-memory scans (the reference's hot loop)
     -> dense cumulative one-hot ranks, all 16 digits at once, on the VPU;
-  - scatter: XLA scatter with unique destination indices ("xla" backend), or
-    run-structured DMA writes (Pallas backend);
+  - scatter: run-structured DMA writes (Pallas backend); the portable "xla"
+    backend instead compacts the requested bit sequence into one composite
+    word and runs a single stable platform sort (see _sort_xla — stable LSD
+    passes compose to exactly that permutation);
   - SSBO ping-pong (:286) -> XLA buffer donation of double-buffered HBM
     arrays across passes.
 
@@ -42,43 +44,35 @@ RADIX = 1 << RADIX_BITS  # 16 buckets
 NUM_PASSES = 32 // RADIX_BITS  # 8 passes over u32 keys
 
 
-def _sort_pass_xla(keys: jax.Array, values, pos4):
-    """One stable counting-sort pass by the 4-bit compact digit whose bit
-    positions are in `pos4` (an (RADIX_BITS,) i32 array; the contiguous
-    full-sort case is [s, s+1, s+2, s+3]) (jnp only).
+def _sort_xla(keys: jax.Array, values, positions):
+    """Portable whole-sort by the key bits at `positions` (static tuple,
+    LSB-first significance) — ONE stable platform sort on the compacted
+    bit sequence.
 
-    Mirrors the reference pass structure (count :296-307 / scan :311 /
-    reorder :315-329) as dense vector ops: per-digit exclusive cumsum gives
-    each element its stable rank among equal digits, the digit histogram's
-    exclusive scan gives bucket bases, and a unique-index scatter realizes
-    the permutation. `values` is a tuple of payload arrays scattered with
-    the same destinations.
+    Semantics parity with the LSD pass loop (reference RadixSort.hpp:289-333):
+    k stable LSD passes over digits d0..d{k-1} ARE a stable sort by the
+    concatenated value d{k-1}..d0, so compacting the requested bits into one
+    composite word and running a single stable `jax.lax.sort` produces the
+    identical permutation — including partial `num_steps` sorts (low 4k bits
+    only) and arbitrary bit-pruned sequences. One platform sort replaces the
+    previous per-digit-cumsum formulation (16 full-array cumsums per pass; it
+    dominated the CPU suite's wall time). `values` is a tuple of payload
+    arrays permuted identically (extra sort operands, not gathers).
     """
-    n = keys.shape[0]
-    digit = jnp.zeros_like(keys)
-    for j in range(RADIX_BITS):
-        p = pos4[j].astype(jnp.uint32)
-        digit = digit | (((keys >> p) & jnp.uint32(1)) << jnp.uint32(j))
-
-    def digit_body(d, carry):
-        rank, hist = carry
-        m = digit == d.astype(jnp.uint32)
-        c = jnp.cumsum(m.astype(jnp.int32))
-        return jnp.where(m, c - 1, rank), hist.at[d].set(c[-1])
-
-    rank, hist = jax.lax.fori_loop(
-        0,
-        RADIX,
-        digit_body,
-        (jnp.zeros(n, dtype=jnp.int32), jnp.zeros(RADIX, dtype=jnp.int32)),
-    )
-    start = jnp.cumsum(hist) - hist  # exclusive bucket bases
-    dest = start[digit] + rank
-    out_k = jnp.zeros_like(keys).at[dest].set(keys, unique_indices=True)
-    out_vs = tuple(
-        jnp.zeros_like(v).at[dest].set(v, unique_indices=True) for v in values
-    )
-    return out_k, out_vs
+    cover = tuple(range(len(positions)))
+    if positions == cover:
+        # contiguous low bits: composite == masked key (mask is a no-op at 32)
+        composite = (
+            keys
+            if len(positions) >= 32
+            else keys & jnp.uint32((1 << len(positions)) - 1)
+        )
+    else:
+        composite = jnp.zeros_like(keys)
+        for j, p in enumerate(positions):
+            composite = composite | (((keys >> jnp.uint32(p)) & jnp.uint32(1)) << jnp.uint32(j))
+    outs = jax.lax.sort((composite, keys) + tuple(values), num_keys=1, is_stable=True)
+    return outs[1], tuple(outs[2:])
 
 
 @partial(
@@ -109,18 +103,7 @@ def _radix_sort_streams(keys, values, num_steps: int, backend: str, bit_position
         positions = tuple(int(b) for b in bit_positions)
     if not positions:
         return keys, tuple(values)
-    # Pad the trailing group to RADIX_BITS by repeating its last position:
-    # a duplicated bit raises the digit by a monotone (hence order- and
-    # stability-preserving) transform, so the padded pass sorts identically.
-    npass = -(-len(positions) // RADIX_BITS)
-    flat = list(positions) + [positions[-1]] * (npass * RADIX_BITS - len(positions))
-    pos_arr = jnp.asarray(flat, dtype=jnp.int32)
-
-    def pass_body(step, kv):
-        pos4 = jax.lax.dynamic_slice(pos_arr, (step * RADIX_BITS,), (RADIX_BITS,))
-        return _sort_pass_xla(kv[0], kv[1], pos4)
-
-    return jax.lax.fori_loop(0, npass, pass_body, (keys, tuple(values)))
+    return _sort_xla(keys, values, positions)
 
 
 def _radix_sort_kv(keys, values, num_steps: int, backend: str, bit_positions=None):
@@ -390,20 +373,29 @@ def radix_sort_segmented(
     values: jax.Array,
     num_partitions: int = 1,
     *,
+    offsets=None,
     backend: str | None = None,
     bits=None,
 ):
-    """Stably sort (keys, values) independently within `num_partitions`
-    adjacent, equal-length segments — the sort-side analog of the scan's
-    partition batching (reference BlellochScan.hpp:125-138; the reference
-    has no segmented sort). Returns (sorted_keys, permuted_values).
+    """Stably sort (keys, values) independently within adjacent segments —
+    the sort-side analog of the scan's partition batching (reference
+    BlellochScan.hpp:125-138; the reference has no segmented sort).
+    Returns (sorted_keys, permuted_values).
+
+    Segments are given EITHER as `num_partitions` equal-length pieces OR as
+    `offsets` — a 1-D array of S+1 nondecreasing boundaries (CUB
+    begin/end-offsets style: segment s is [offsets[s], offsets[s+1]),
+    offsets[0] == 0, offsets[-1] == len(keys); empty segments allowed).
+    The two forms are mutually exclusive.
 
     LSD composition on the multi-stream engine: a full stable sort by key
     carrying (value, index) payloads, then a stable PARTIAL sort by segment
-    id — exactly enough low-bit passes to cover log2(num_partitions) bits —
+    id — exactly enough low-bit passes to cover log2(num_segments) bits —
     carrying (key, value). Stability of the second sort preserves the key
     order within each segment, so the result is a per-segment stable key
-    sort. No gathers: every permutation is applied by the engine itself.
+    sort. Equal-length segment ids come from an index division; offsets
+    segment ids from a vectorized searchsorted over the boundary array.
+    No gathers: every permutation is applied by the engine itself.
     bits= prunes the KEY sort (see radix_sort); the segment-id passes are
     already minimal.
     """
@@ -412,6 +404,11 @@ def radix_sort_segmented(
     check_argument(keys.dtype == jnp.uint32, "keys must be uint32, got %s", keys.dtype)
     check_argument(values.dtype == jnp.uint32, "values must be uint32, got %s", values.dtype)
     n = keys.shape[0]
+    if offsets is not None:
+        check_argument(
+            num_partitions in (1, None), "offsets and num_partitions are mutually exclusive"
+        )
+        return _radix_sort_segmented_offsets(keys, values, offsets, backend, bits)
     p = int(num_partitions)
     check_argument(p >= 1, "num_partitions must be >= 1")
     check_argument(n % p == 0, "count (%d) must divide into %d partitions", n, p)
@@ -420,8 +417,7 @@ def radix_sort_segmented(
     if n <= 1:
         return keys, values
     b = resolve_backend(backend)
-    seg_bits = max(1, (p - 1).bit_length())
-    seg_steps = -(-seg_bits // RADIX_BITS)  # ceil: passes covering segment ids
+    seg_steps = _seg_steps(p)
     part = n // p
     positions = _norm_bits(bits, keys, 0)
     idx = jnp.arange(n, dtype=jnp.uint32)
@@ -430,6 +426,52 @@ def radix_sort_segmented(
     )
     seg1 = p1 // jnp.uint32(part)  # segment id of each key-sorted element
     _, (k2, v2) = _radix_sort_streams(seg1, (k1, v1), seg_steps, b)
+    return k2, v2
+
+
+def _seg_steps(num_segments: int) -> int:
+    """4-bit passes covering every segment id in 0..num_segments-1."""
+    seg_bits = max(1, (num_segments - 1).bit_length())
+    return -(-seg_bits // RADIX_BITS)
+
+
+def _radix_sort_segmented_offsets(keys, values, offsets, backend, bits):
+    """Variable-length segmented sort (see radix_sort_segmented): segment
+    ids are recovered from each element's original index by binary search
+    over the boundary array — trace-safe (the boundaries may be traced
+    values; only their COUNT is static)."""
+    offs = jnp.asarray(offsets)
+    check_argument(offs.ndim == 1, "offsets must be 1-D")
+    check_argument(
+        jnp.issubdtype(offs.dtype, jnp.integer), "offsets must be integers, got %s", offs.dtype
+    )
+    num_segments = offs.shape[0] - 1
+    check_argument(num_segments >= 1, "offsets needs at least 2 entries")
+    n = keys.shape[0]
+    import numpy as _np
+
+    if not isinstance(offs, jax.core.Tracer):  # concrete: validate the contract
+        h = _np.asarray(offs)
+        check_argument(int(h[0]) == 0, "offsets[0] must be 0, got %d", int(h[0]))
+        check_argument(
+            int(h[-1]) == n, "offsets[-1] (%d) must equal len(keys) (%d)", int(h[-1]), n
+        )
+        check_argument(bool((h[1:] >= h[:-1]).all()), "offsets must be nondecreasing")
+    if num_segments == 1:
+        return radix_sort(keys, values, backend=backend, bits=bits)
+    if n <= 1:
+        return keys, values
+    b = resolve_backend(backend)
+    positions = _norm_bits(bits, keys, 0)
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    offs_u = offs.astype(jnp.uint32)
+    k1, (v1, p1) = _radix_sort_streams(
+        jnp.copy(keys), (jnp.copy(values), idx), NUM_PASSES, b, positions
+    )
+    # segment of original index i: last s with offsets[s] <= i (duplicate
+    # boundaries = empty segments resolve to the FOLLOWING segment)
+    seg1 = (jnp.searchsorted(offs_u, p1, side="right") - 1).astype(jnp.uint32)
+    _, (k2, v2) = _radix_sort_streams(seg1, (k1, v1), _seg_steps(num_segments), b)
     return k2, v2
 
 

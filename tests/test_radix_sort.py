@@ -329,3 +329,82 @@ def test_sort_segmented_rejects_bad_partitions():
         radix_sort_segmented(
             jnp.zeros(10, jnp.uint32), jnp.zeros(10, jnp.uint32), 3
         )
+
+
+def _check_segmented_offsets(keys, vals, offs, backend):
+    from glu_tpu import radix_sort_segmented
+
+    out_k, out_v = radix_sort_segmented(
+        jnp.asarray(keys), jnp.asarray(vals), offsets=jnp.asarray(offs), backend=backend
+    )
+    out_k, out_v = np.asarray(out_k), np.asarray(out_v)
+    for s in range(len(offs) - 1):
+        seg = slice(int(offs[s]), int(offs[s + 1]))
+        order = np.argsort(keys[seg], kind="stable") + int(offs[s])
+        np.testing.assert_array_equal(out_k[seg], keys[order])
+        np.testing.assert_array_equal(out_v[seg], vals[order])
+
+
+@pytest.mark.parametrize("num_segments", [1, 2, 7, 64, 300])
+def test_sort_segmented_offsets_ragged(num_segments, backend, seeded_rng):
+    # variable-length segments (CUB begin/end-offsets style) — the form
+    # real ragged workloads use; the reference has no segmented sort at all
+    rng = seeded_rng(53 + num_segments)
+    n = 4000
+    cuts = np.sort(rng.sample_int_vector(num_segments - 1, 0, n).astype(np.int64))
+    offs = np.concatenate([[0], cuts, [n]]).astype(np.int32)
+    keys = rng.sample_int_vector(n, 0, 2**32 - 1)
+    keys[: n // 3] = keys[0]  # duplicates so stability matters
+    vals = np.arange(n, dtype=np.uint32)
+    _check_segmented_offsets(keys, vals, offs, backend)
+
+
+def test_sort_segmented_offsets_empty_and_singleton(backend, seeded_rng):
+    # adversarial boundaries: empty first/middle/last segments, singletons,
+    # and one segment holding most of the data
+    rng = seeded_rng(99)
+    n = 1500
+    offs = np.array([0, 0, 1, 1, 1, 2, 700, 700, 1499, 1500, 1500], np.int32)
+    keys = rng.sample_int_vector(n, 0, 1000)  # low entropy: cross-segment dups
+    vals = np.arange(n, dtype=np.uint32)
+    _check_segmented_offsets(keys, vals, offs, backend)
+
+
+def test_sort_segmented_offsets_contract_errors(backend):
+    from glu_tpu import radix_sort_segmented
+    from glu_tpu.utils.errors import GluArgumentError
+
+    k = jnp.zeros(10, jnp.uint32)
+    v = jnp.zeros(10, jnp.uint32)
+    with pytest.raises(GluArgumentError):  # offsets[0] != 0
+        radix_sort_segmented(k, v, offsets=jnp.array([1, 10], jnp.int32), backend=backend)
+    with pytest.raises(GluArgumentError):  # offsets[-1] != n
+        radix_sort_segmented(k, v, offsets=jnp.array([0, 9], jnp.int32), backend=backend)
+    with pytest.raises(GluArgumentError):  # decreasing
+        radix_sort_segmented(
+            k, v, offsets=jnp.array([0, 7, 3, 10], jnp.int32), backend=backend
+        )
+    with pytest.raises(GluArgumentError):  # both forms given
+        radix_sort_segmented(
+            k, v, 2, offsets=jnp.array([0, 10], jnp.int32), backend=backend
+        )
+
+
+def test_sort_segmented_offsets_matches_equal_partitions(backend, seeded_rng):
+    # the offsets form with equal boundaries must reproduce the
+    # num_partitions form exactly
+    from glu_tpu import radix_sort_segmented
+
+    rng = seeded_rng(123)
+    n, p = 2048, 8
+    keys = rng.sample_int_vector(n, 0, 5000)
+    vals = np.arange(n, dtype=np.uint32)
+    a_k, a_v = radix_sort_segmented(
+        jnp.asarray(keys), jnp.asarray(vals), p, backend=backend
+    )
+    offs = np.arange(0, n + 1, n // p, dtype=np.int32)
+    b_k, b_v = radix_sort_segmented(
+        jnp.asarray(keys), jnp.asarray(vals), offsets=jnp.asarray(offs), backend=backend
+    )
+    np.testing.assert_array_equal(np.asarray(a_k), np.asarray(b_k))
+    np.testing.assert_array_equal(np.asarray(a_v), np.asarray(b_v))
