@@ -217,6 +217,89 @@ def full_table(backend):
         print(f"{n:>12} {_fmt_ms(t)}  {n / t / 1e6:8.1f} M keys/s")
 
 
+def vs_xla_table(backend):
+    """Head-to-head vs the PLATFORM's own primitives on the same chip —
+    the first question a real TPU user asks of a sort library. Same
+    chained-iteration methodology and the same size ladder as full_table:
+
+      sort    : radix_sort (key+value)  vs  jax.lax.sort(num_keys=1, stable)
+      argsort : radix_argsort           vs  jnp.argsort(stable) (+gather)
+      scan    : exclusive_scan          vs  jnp.cumsum (exclusive via roll)
+      reduce  : reduce(SUM)             vs  jnp.sum
+
+    The XLA rows are exactly what a user writes without this library; the
+    reference has no such table (it compares only against its own GPU,
+    README.md:91-134)."""
+    from glu_tpu import radix_argsort
+
+    sizes = [2**k for k in [10, 14, 17, 20, 24, 26, 28]]
+    print(f"# vs-xla backend={backend} device={jax.devices()[0].device_kind}")
+    print("## Sort u32 key+value: glu radix_sort vs jax.lax.sort(num_keys=1, is_stable=True)")
+    for n in sizes:
+        k = _rand_u32(n, 1)
+        v = jnp.arange(n, dtype=jnp.uint32)
+        it = _ladder_iters(n, 2**24, lo=4)
+        t_glu = _chain_time(
+            lambda kv: tuple(radix_sort(kv[0], kv[1], backend=backend)), (k, v), it
+        )
+        t_xla = _chain_time(
+            lambda kv: tuple(jax.lax.sort(kv, num_keys=1, is_stable=True)), (k, v), it
+        )
+        print(
+            f"{n:>12} glu {_fmt_ms(t_glu)} ({n / t_glu / 1e6:8.1f} M keys/s)   "
+            f"lax.sort {_fmt_ms(t_xla)} ({n / t_xla / 1e6:8.1f} M keys/s)   "
+            f"speedup {t_xla / t_glu:5.2f}x"
+        )
+    print("## Argsort u32: glu radix_argsort vs jnp.argsort(stable)+gather")
+    for n in sizes:
+        k = _rand_u32(n, 2)
+        it = _ladder_iters(n, 2**24, lo=4)
+        t_glu = _chain_time(
+            lambda kv: tuple(radix_argsort(kv[0], backend=backend)[:1]) + (kv[0],),
+            (k, k), it,
+        )
+
+        def xla_argsort(kv):
+            order = jnp.argsort(kv[0], stable=True)
+            return (kv[0][order], kv[0])
+
+        t_xla = _chain_time(xla_argsort, (k, k), it)
+        print(
+            f"{n:>12} glu {_fmt_ms(t_glu)} ({n / t_glu / 1e6:8.1f} M keys/s)   "
+            f"argsort {_fmt_ms(t_xla)} ({n / t_xla / 1e6:8.1f} M keys/s)   "
+            f"speedup {t_xla / t_glu:5.2f}x"
+        )
+    print("## Exclusive scan u32: glu exclusive_scan vs jnp.cumsum-roll")
+    for n in sizes:
+        x = _rand_u32(n, 3)
+        it = _ladder_iters(n, 2**31)
+        t_glu = _chain_time(lambda s_: exclusive_scan(s_, backend=backend), x, it)
+
+        def xla_escan(s_):
+            c = jnp.cumsum(s_, dtype=jnp.uint32)
+            return jnp.concatenate([jnp.zeros((1,), jnp.uint32), c[:-1]])
+
+        t_xla = _chain_time(xla_escan, x, it)
+        print(
+            f"{n:>12} glu {_fmt_ms(t_glu)} ({n * 4 / t_glu / 1e9:7.1f} GB/s)   "
+            f"cumsum {_fmt_ms(t_xla)} ({n * 4 / t_xla / 1e9:7.1f} GB/s)   "
+            f"speedup {t_xla / t_glu:5.2f}x"
+        )
+    print("## Reduce u32 sum: glu reduce vs jnp.sum")
+    for n in sizes:
+        x = _rand_u32(n, 4)
+        it = _ladder_iters(n, 2**31)
+        t_glu = _chain_time(
+            lambda s_: s_ + reduce(s_, ReduceOperator.SUM, backend=backend), x, it
+        )
+        t_xla = _chain_time(lambda s_: s_ + jnp.sum(s_, dtype=jnp.uint32), x, it)
+        print(
+            f"{n:>12} glu {_fmt_ms(t_glu)} ({n * 4 / t_glu / 1e9:7.1f} GB/s)   "
+            f"jnp.sum {_fmt_ms(t_xla)} ({n * 4 / t_xla / 1e9:7.1f} GB/s)   "
+            f"speedup {t_xla / t_glu:5.2f}x"
+        )
+
+
 def bench_dist(n, backend, reps=2, capacity_factor=1.5, exchange="padded", pipeline_chunks=1):
     """Distributed sort throughput + scaling efficiency over all local
     devices (the BASELINE.json multi-host metric; on a pod slice run this
@@ -276,6 +359,17 @@ def _make_dist_keys(n, dist, seed=9):
         return jnp.uint32(n) - jnp.arange(n, dtype=jnp.uint32)
     if dist == "lowentropy":
         return _rand_u32(n, seed) % jnp.uint32(10)
+    if dist == "zipf":
+        # device-side zipf(s=1.3) equivalent via the Pareto inverse CDF:
+        # survival P(X>k) ~ k^-(s-1), the same tail law np.random.zipf(1.3)
+        # draws (the 1B dist artifact's distribution) without a 1 GB host
+        # transfer through the tunnel. Heavy skew at EVERY digit level —
+        # the north-star adversarial case for the splicer's long-run path.
+        u = jax.random.uniform(
+            jax.random.key(seed), (n,), jnp.float32, minval=2.0**-24, maxval=1.0
+        )
+        x = jnp.power(u, jnp.float32(-1.0 / 0.3))
+        return jnp.minimum(x, jnp.float32(4.2949673e9)).astype(jnp.uint32)
     raise ValueError(dist)
 
 
@@ -321,7 +415,8 @@ def _device_verify(in_keys, out_k, out_v):
 
 def run_checks(n, backend, bits=None):
     """BASELINE.json config battery: 268M-scale sorts across uniform,
-    pre-sorted, reverse, and low-entropy keys, verified on-device.
+    pre-sorted, reverse, low-entropy, and zipf-skewed keys, verified
+    on-device.
 
     One untimed warm-up sort + verify first: every distribution shares the
     same shapes, so this pays ALL compiles (sort program + verifier) before
@@ -339,7 +434,7 @@ def run_checks(n, backend, bits=None):
     bool(np.asarray(_device_verify(wk, ok_w, ov_w)))
     del wk, wv, ok_w, ov_w
 
-    for dist in ("uniform", "presorted", "reverse", "lowentropy"):
+    for dist in ("uniform", "presorted", "reverse", "lowentropy", "zipf"):
         keys = _make_dist_keys(n, dist)
         vals = jnp.arange(n, dtype=jnp.uint32)
         if bits is not None:  # per-distribution pass program: warm it first
@@ -362,6 +457,9 @@ def main():
     ap.add_argument("--n", type=int, default=268_435_456)
     ap.add_argument("--backend", default=None, choices=[None, "pallas", "xla"])
     ap.add_argument("--table", action="store_true", help="print the full reference size ladder")
+    ap.add_argument("--vs-xla", action="store_true",
+                    help="head-to-head ladder vs the platform's own jax.lax.sort/"
+                         "jnp.argsort/jnp.cumsum/jnp.sum on the same chip")
     ap.add_argument("--dist", action="store_true", help="distributed sort over all local devices")
     ap.add_argument("--exchange", default="padded", choices=["padded", "ragged"],
                     help="bucket exchange implementation for --dist (ragged = "
@@ -397,6 +495,9 @@ def main():
     backend = resolve_backend(args.backend)
     if args.table:
         full_table(backend)
+        return
+    if args.vs_xla:
+        vs_xla_table(backend)
         return
     if args.dist:
         bench_dist(args.n, backend, reps=args.reps, exchange=args.exchange,
