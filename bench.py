@@ -180,7 +180,7 @@ def full_table(backend):
     sizes = [2**k for k in [10, 14, 16, 17, 19, 20, 24, 26, 27, 28]]
     big = 2**29  # chained timing everywhere: direct fenced timing is too
     # jittery through the ~30 ms tunnel fence even at 268M (a 15 ms op)
-    print(f"# backend={backend} device={jax.devices()[0].device_kind}")
+    print(f"# backend={backend or 'auto'} device={jax.devices()[0].device_kind}")
     print("## Reduce (u32 sum)")
     for n in sizes:
         if n < big:
@@ -233,7 +233,7 @@ def vs_xla_table(backend):
     from glu_tpu import radix_argsort
 
     sizes = [2**k for k in [10, 14, 17, 20, 24, 26, 28]]
-    print(f"# vs-xla backend={backend} device={jax.devices()[0].device_kind}")
+    print(f"# vs-xla backend={backend or 'auto'} device={jax.devices()[0].device_kind}")
     print("## Sort u32 key+value: glu radix_sort vs jax.lax.sort(num_keys=1, is_stable=True)")
     for n in sizes:
         k = _rand_u32(n, 1)
@@ -492,7 +492,10 @@ def main():
         os.environ["GLU_TPU_PALLAS_INTERPRET"] = "1"  # pallas kernels on CPU
         jax.config.update("jax_platforms", "cpu")
 
-    backend = resolve_backend(args.backend)
+    # keep None (auto) — the sort entry points route per (n, streams,
+    # passes) between the radix engine and the platform sort (measured
+    # crossovers in ops/radix_sort.py); an explicit --backend forces one.
+    backend = args.backend and resolve_backend(args.backend)
     if args.table:
         full_table(backend)
         return

@@ -44,6 +44,82 @@ RADIX = 1 << RADIX_BITS  # 16 buckets
 NUM_PASSES = 32 // RADIX_BITS  # 8 passes over u32 keys
 
 
+# ---------------------------------------------------------------------------
+# Auto-dispatch between the Pallas radix engine and the platform's own
+# stable sort (the "xla" backend's single composite jax.lax.sort form).
+#
+# Measured on the TPU v5e (VS_XLA_r04.txt + the 1/3-operand point runs,
+# chained-iteration timing): XLA's sort is VMEM-resident and very fast at
+# small/mid sizes (0.68 ns/key at 16K, 2-operand) but its per-key cost
+# grows ~0.5 ns per size doubling past ~1M, while the radix engine's is
+# flat in n and linear in (passes, payload streams). Full-width key+value
+# crosses over near ~190M pairs; keys-only stays XLA-favored through 268M
+# (3.48 vs 3.93 ns/key); pruned-bit sorts (bits=) favor the radix engine
+# at much smaller n because jax.lax.sort cannot exploit lost entropy
+# (268M %10 keys: 1087 vs 203 M keys/s). The router compares the two cost
+# models and picks per call; an explicit backend= or GLU_TPU_BACKEND wins.
+# ---------------------------------------------------------------------------
+
+# 2-operand jax.lax.sort ns/key by log2(n) (measured; interpolated in log2)
+_LAX_NS_PER_KEY = [
+    (10, 4.35), (14, 0.68), (17, 0.84), (20, 1.31),
+    (24, 2.95), (26, 3.89), (27, 4.38), (28, 4.92),
+]
+_LAX_NS_SLOPE = 0.54  # ns/key per doubling beyond the table (267->268M trend)
+
+
+def _lax_sort_est_s(n: int, num_operands: int) -> float:
+    """Estimated seconds for a stable num_operands-operand lax.sort of n."""
+    import math
+
+    lg = math.log2(max(n, 2))
+    pts = _LAX_NS_PER_KEY
+    if lg <= pts[0][0]:
+        ns = pts[0][1]
+    elif lg >= pts[-1][0]:
+        ns = pts[-1][1] + _LAX_NS_SLOPE * (lg - pts[-1][0])
+    else:
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+            if lg <= x1:
+                ns = y0 + (y1 - y0) * (lg - x0) / (x1 - x0)
+                break
+    # operand scaling (measured at 67-268M: 1-op 0.71x, 3-op 1.29x of 2-op)
+    ns *= 0.71 + 0.29 * (num_operands - 1)
+    return 4e-6 + n * ns * 1e-9
+
+
+def _radix_est_s(n: int, num_streams: int, npasses: int) -> float:
+    """Estimated seconds for the Pallas engine: flat fixed dispatch cost +
+    per-key cost linear in passes, with measured per-pass rates by payload
+    stream count (keys-only 3.93 ns/key at 8 passes -> 0.46/pass, key+value
+    4.81 -> 0.57, 3-stream ~6.1 -> 0.73; 1-pass adaptive 0.92 incl.
+    detection)."""
+    per_pass = {0: 0.46, 1: 0.57, 2: 0.73}.get(num_streams, 0.46 + 0.135 * num_streams)
+    return 40e-6 + n * (0.25 + npasses * per_pass) * 1e-9
+
+
+def _sort_backend(backend, n: int, num_streams: int, npasses: int) -> str:
+    """Resolve the sort backend; a None/unset choice on TPU auto-dispatches
+    by the measured cost models above."""
+    import os
+
+    from .backend import _ENV_BACKEND, is_tpu_backend
+
+    if backend is None and not os.environ.get(_ENV_BACKEND) and is_tpu_backend():
+        # a pruned/partial sort adds the composite word as an extra operand
+        ops = 1 + num_streams + (1 if npasses < NUM_PASSES else 0)
+        lax_est = _lax_sort_est_s(n, ops)
+        radix_est = _radix_est_s(n, num_streams, npasses)
+        return "xla" if lax_est < radix_est else "pallas"
+    return resolve_backend(backend)
+
+
+def _npasses_of(positions, num_steps: int) -> int:
+    if positions is None:
+        return num_steps
+    return max(1, -(-len(positions) // RADIX_BITS))
+
+
 def _sort_xla(keys: jax.Array, values, positions):
     """Portable whole-sort by the key bits at `positions` (static tuple,
     LSB-first significance) — ONE stable platform sort on the compacted
@@ -60,13 +136,14 @@ def _sort_xla(keys: jax.Array, values, positions):
     arrays permuted identically (extra sort operands, not gathers).
     """
     cover = tuple(range(len(positions)))
+    if positions == cover and len(positions) >= 32:
+        # full-width sort: the composite IS the key — drop the redundant
+        # operand (a 1-operand lax.sort is ~0.71x the 2-operand cost)
+        outs = jax.lax.sort((keys,) + tuple(values), num_keys=1, is_stable=True)
+        return outs[0], tuple(outs[1:])
     if positions == cover:
-        # contiguous low bits: composite == masked key (mask is a no-op at 32)
-        composite = (
-            keys
-            if len(positions) >= 32
-            else keys & jnp.uint32((1 << len(positions)) - 1)
-        )
+        # contiguous low bits: composite == masked key
+        composite = keys & jnp.uint32((1 << len(positions)) - 1)
     else:
         composite = jnp.zeros_like(keys)
         for j, p in enumerate(positions):
@@ -235,7 +312,8 @@ def radix_sort(
     if descending:
         keys = ~keys  # complement preserves the varying-bit set
     positions = _norm_bits(bits, keys, num_steps)
-    out_k, out_v = _radix_sort_kv(keys, values, steps, resolve_backend(backend), positions)
+    b = _sort_backend(backend, keys.shape[0], 1, _npasses_of(positions, steps))
+    out_k, out_v = _radix_sort_kv(keys, values, steps, b, positions)
     if descending:
         out_k = ~out_k
     return out_k, out_v
@@ -253,7 +331,8 @@ def radix_sort_keys(
         return keys
     steps = _norm_steps(num_steps)
     positions = _norm_bits(bits, keys, num_steps)
-    return _radix_sort_k(keys, steps, resolve_backend(backend), positions)
+    b = _sort_backend(backend, keys.shape[0], 0, _npasses_of(positions, steps))
+    return _radix_sort_k(keys, steps, b, positions)
 
 
 def radix_sort_multi(
@@ -285,7 +364,8 @@ def radix_sort_multi(
         return keys, payloads
     steps = _norm_steps(num_steps)
     positions = _norm_bits(bits, keys, num_steps)
-    return _radix_sort_streams(keys, payloads, steps, resolve_backend(backend), positions)
+    b = _sort_backend(backend, keys.shape[0], len(payloads), _npasses_of(positions, steps))
+    return _radix_sort_streams(keys, payloads, steps, b, positions)
 
 
 def radix_argsort(
@@ -349,7 +429,6 @@ def radix_sort_u64_parts(
     n = keys_hi.shape[0]
     if n <= 1:
         return keys_hi, keys_lo, values
-    b = resolve_backend(backend)
     if bits is None or isinstance(bits, str):
         pos_lo = _norm_bits(bits, keys_lo, 0)
         pos_hi = _norm_bits(bits, keys_hi, 0)
@@ -361,10 +440,12 @@ def radix_sort_u64_parts(
         )
         pos_hi = _norm_bits(tuple(pair[0]), keys_hi, 0)
         pos_lo = _norm_bits(tuple(pair[1]), keys_lo, 0)
+    b_lo = _sort_backend(backend, n, 2, _npasses_of(pos_lo, NUM_PASSES))
+    b_hi = _sort_backend(backend, n, 2, _npasses_of(pos_hi, NUM_PASSES))
     lo1, (hi1, v1) = _radix_sort_streams(
-        jnp.copy(keys_lo), (jnp.copy(keys_hi), jnp.copy(values)), NUM_PASSES, b, pos_lo
+        jnp.copy(keys_lo), (jnp.copy(keys_hi), jnp.copy(values)), NUM_PASSES, b_lo, pos_lo
     )
-    hi2, (lo2, v2) = _radix_sort_streams(hi1, (lo1, v1), NUM_PASSES, b, pos_hi)
+    hi2, (lo2, v2) = _radix_sort_streams(hi1, (lo1, v1), NUM_PASSES, b_hi, pos_hi)
     return hi2, lo2, v2
 
 
@@ -416,16 +497,17 @@ def radix_sort_segmented(
         return radix_sort(keys, values, backend=backend, bits=bits)
     if n <= 1:
         return keys, values
-    b = resolve_backend(backend)
     seg_steps = _seg_steps(p)
     part = n // p
     positions = _norm_bits(bits, keys, 0)
+    b1 = _sort_backend(backend, n, 2, _npasses_of(positions, NUM_PASSES))
+    b2 = _sort_backend(backend, n, 2, seg_steps)
     idx = jnp.arange(n, dtype=jnp.uint32)
     k1, (v1, p1) = _radix_sort_streams(
-        jnp.copy(keys), (jnp.copy(values), idx), NUM_PASSES, b, positions
+        jnp.copy(keys), (jnp.copy(values), idx), NUM_PASSES, b1, positions
     )
     seg1 = p1 // jnp.uint32(part)  # segment id of each key-sorted element
-    _, (k2, v2) = _radix_sort_streams(seg1, (k1, v1), seg_steps, b)
+    _, (k2, v2) = _radix_sort_streams(seg1, (k1, v1), seg_steps, b2)
     return k2, v2
 
 
@@ -461,17 +543,18 @@ def _radix_sort_segmented_offsets(keys, values, offsets, backend, bits):
         return radix_sort(keys, values, backend=backend, bits=bits)
     if n <= 1:
         return keys, values
-    b = resolve_backend(backend)
     positions = _norm_bits(bits, keys, 0)
+    b1 = _sort_backend(backend, n, 2, _npasses_of(positions, NUM_PASSES))
+    b2 = _sort_backend(backend, n, 2, _seg_steps(num_segments))
     idx = jnp.arange(n, dtype=jnp.uint32)
     offs_u = offs.astype(jnp.uint32)
     k1, (v1, p1) = _radix_sort_streams(
-        jnp.copy(keys), (jnp.copy(values), idx), NUM_PASSES, b, positions
+        jnp.copy(keys), (jnp.copy(values), idx), NUM_PASSES, b1, positions
     )
     # segment of original index i: last s with offsets[s] <= i (duplicate
     # boundaries = empty segments resolve to the FOLLOWING segment)
     seg1 = (jnp.searchsorted(offs_u, p1, side="right") - 1).astype(jnp.uint32)
-    _, (k2, v2) = _radix_sort_streams(seg1, (k1, v1), _seg_steps(num_segments), b)
+    _, (k2, v2) = _radix_sort_streams(seg1, (k1, v1), _seg_steps(num_segments), b2)
     return k2, v2
 
 
@@ -540,7 +623,8 @@ def radix_sort_f32(
     if descending:
         ku = ~ku
     positions = _norm_bits(bits, ku, 0)
-    ku, out_v = _radix_sort_kv(ku, values, NUM_PASSES, resolve_backend(backend), positions)
+    b = _sort_backend(backend, ku.shape[0], 1, _npasses_of(positions, NUM_PASSES))
+    ku, out_v = _radix_sort_kv(ku, values, NUM_PASSES, b, positions)
     if descending:
         ku = ~ku
     return _sortable_u32_to_f32(ku), out_v
@@ -571,7 +655,8 @@ def radix_sort_i32(
     if descending:
         ku = ~ku
     positions = _norm_bits(bits, ku, 0)
-    ku, out_v = _radix_sort_kv(ku, values, NUM_PASSES, resolve_backend(backend), positions)
+    b = _sort_backend(backend, ku.shape[0], 1, _npasses_of(positions, NUM_PASSES))
+    ku, out_v = _radix_sort_kv(ku, values, NUM_PASSES, b, positions)
     if descending:
         ku = ~ku
     return _sortable_u32_to_i32(ku), out_v
@@ -601,7 +686,7 @@ class RadixSort:
         self._warm: set = set()
 
     def prepare_internal_buffers(self, count: int, *, backend: str | None = None) -> None:
-        b = resolve_backend(backend)
+        b = _sort_backend(backend, count, 1, NUM_PASSES)
         key = (count, b)
         if count <= 1 or key in self._warm:
             return
