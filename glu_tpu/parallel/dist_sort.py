@@ -535,8 +535,8 @@ def distributed_radix_sort(
     *,
     axis_name: str = "shards",
     capacity_factor: float = 2.0,
-    recv_capacity_factor: float = 1.25,
-    num_samples: int = 256,
+    recv_capacity_factor: float = 1.1,
+    num_samples: int = 4096,
     backend: str | None = None,
     exchange: str = "padded",
     max_retries: int = 3,
@@ -568,11 +568,15 @@ def distributed_radix_sort(
     robust to block-level skew; XLA implements it for TPU, not CPU).
 
     recv_capacity_factor bounds the RECEIVER side: each device's final local
-    sort — the dominant cost — runs over recv_capacity_factor*n_local slots
-    (index-tiebroken sampled splitters keep the received total near n_local,
-    so 1.25x is ample headroom; block-level skew is absorbed by the per-block
-    capacity, not the sort length). With one device both factors are ignored
-    and the sort is exact (n_local slots, no exchange).
+    sort — the dominant cost — runs over recv_capacity_factor*n_local slots,
+    so it is the largest efficiency knob at scale (the scaling model prices
+    the budget tax directly, SCALING_MODEL_r04.json). With the default 4096
+    samples/device the index-tiebroken splitters keep worst-case received
+    totals within ~4% of n_local across uniform/zipf/low-entropy/presorted
+    distributions (5-trial sim, NOTES.md round-4), so the 1.1 default has
+    ~2.5x margin; block-level skew is absorbed by the per-block capacity,
+    not the sort length. With one device both factors are ignored and the
+    sort is exact (n_local slots, no exchange).
 
     pipeline_chunks > 1 cuts each shard into that many adjacent chunks,
     partitioned and exchanged independently so XLA's latency-hiding
@@ -791,8 +795,8 @@ def distributed_radix_sort_u64_parts(
     *,
     axis_name: str = "shards",
     capacity_factor: float = 2.0,
-    recv_capacity_factor: float = 1.25,
-    num_samples: int = 256,
+    recv_capacity_factor: float = 1.1,
+    num_samples: int = 4096,
     backend: str | None = None,
     exchange: str = "padded",
     max_retries: int = 3,
