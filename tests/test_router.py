@@ -1,0 +1,68 @@
+"""Auto-dispatch router decision table (ops/radix_sort.py::_sort_backend).
+
+The router is a pure function of (n, payload streams, passes) plus the
+TPU/explicit-backend gates; these tests pin the measured crossovers
+(VS_XLA_r04.txt) so a future cost-model edit that silently flips the
+268M headline onto the slower path fails CI.
+"""
+
+import importlib
+
+import pytest
+
+# `glu_tpu.ops.radix_sort` the module is shadowed by the re-exported
+# function of the same name; resolve the module itself
+rs = importlib.import_module("glu_tpu.ops.radix_sort")
+
+
+@pytest.fixture
+def on_tpu(monkeypatch):
+    from glu_tpu.ops import backend as be
+
+    monkeypatch.setattr(be, "is_tpu_backend", lambda: True)
+    monkeypatch.delenv("GLU_TPU_BACKEND", raising=False)
+
+
+def test_full_width_kv_crossover(on_tpu):
+    # platform sort wins small/mid; the engine wins the 268M headline
+    assert rs._sort_backend(None, 2**14, 1, 8) == "xla"
+    assert rs._sort_backend(None, 2**20, 1, 8) == "xla"
+    assert rs._sort_backend(None, 2**27, 1, 8) == "xla"
+    assert rs._sort_backend(None, 2**28, 1, 8) == "pallas"
+    assert rs._sort_backend(None, 2**29, 1, 8) == "pallas"
+
+
+def test_keys_only_stays_platform(on_tpu):
+    # 1-operand lax.sort beats the engine at every measured size
+    for lg in (14, 20, 24, 28, 29):
+        assert rs._sort_backend(None, 2**lg, 0, 8) == "xla"
+
+
+def test_pruned_bits_favor_engine(on_tpu):
+    # lax.sort cannot exploit lost entropy; few-pass sorts go to the engine
+    assert rs._sort_backend(None, 2**24, 1, 1) == "pallas"
+    assert rs._sort_backend(None, 2**28, 1, 2) == "pallas"
+    # but tiny inputs still ride the platform's low dispatch latency
+    assert rs._sort_backend(None, 2**10, 1, 1) == "xla"
+
+
+def test_explicit_choice_and_env_win(on_tpu, monkeypatch):
+    assert rs._sort_backend("pallas", 2**14, 1, 8) == "pallas"
+    assert rs._sort_backend("xla", 2**28, 1, 8) == "xla"
+    monkeypatch.setenv("GLU_TPU_BACKEND", "pallas")
+    assert rs._sort_backend(None, 2**14, 1, 8) == "pallas"
+
+
+def test_off_tpu_resolves_portably(monkeypatch):
+    from glu_tpu.ops import backend as be
+
+    monkeypatch.setattr(be, "is_tpu_backend", lambda: False)
+    monkeypatch.delenv("GLU_TPU_BACKEND", raising=False)
+    assert rs._sort_backend(None, 2**28, 1, 8) == "xla"
+
+
+def test_multi_stream_crossover(on_tpu):
+    # 3-operand sorts cross earlier than key+value (measured 5.02 vs ~6.1
+    # ns/key at 67M, ~parity at 268M favoring the engine)
+    assert rs._sort_backend(None, 2**24, 2, 8) == "xla"
+    assert rs._sort_backend(None, 2**28, 2, 8) == "pallas"
