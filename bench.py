@@ -118,6 +118,46 @@ def bench_sort_keys(n, backend, reps=3):
     return max(best - _fence_floor(), 1e-9)
 
 
+def bench_segmented(n, backend, num_segments=4096, reps=3):
+    """Variable-length segmented sort (offsets form): S random ragged
+    segments over n pairs. Composition cost = full key sort + segment-id
+    recovery (searchsorted over S+1 boundaries) + ceil(log16 S)-pass
+    segment-id sort."""
+    from glu_tpu import radix_sort_segmented
+
+    keys = _rand_u32(n, 1)
+    vals = jnp.arange(n, dtype=jnp.uint32)
+    cuts = jnp.sort(_rand_u32(num_segments - 1, 4) % jnp.uint32(n))
+    offs = jnp.concatenate(
+        [jnp.zeros(1, jnp.uint32), cuts, jnp.full((1,), n, jnp.uint32)]
+    ).astype(jnp.int32)
+
+    def run(k, v):
+        return radix_sort_segmented(k, v, offsets=offs, backend=backend)
+
+    _sync(run(jnp.copy(keys), jnp.copy(vals)))  # warm-up/compile
+    best = float("inf")
+    for _ in range(reps):
+        k, v = jnp.copy(keys), jnp.copy(vals)
+        _sync(k)
+        _sync(v)
+        t0 = time.perf_counter()
+        _sync(run(k, v))
+        best = min(best, time.perf_counter() - t0)
+    best = max(best - _fence_floor(), 1e-9)
+    print(
+        json.dumps(
+            {
+                "metric": f"radix_sort_segmented_keys_per_sec_n{n}_s{num_segments}",
+                "value": round(n / best, 1),
+                "unit": "keys/s",
+                "segments": num_segments,
+                "vs_kv_baseline": round(n / best / BASELINE_SORT_268M_KEYS_PER_S, 3),
+            }
+        )
+    )
+
+
 def bench_reduce(n, backend, reps=3):
     data = _rand_u32(n, 2)
     fn = lambda x: reduce(x, ReduceOperator.SUM, backend=backend)
@@ -469,6 +509,8 @@ def main():
                          "overlaps partition of chunk c+1 on real meshes)")
     ap.add_argument("--keys-only", action="store_true",
                     help="benchmark radix_sort_keys (no value payload)")
+    ap.add_argument("--segmented", type=int, default=0, metavar="S",
+                    help="benchmark the variable-length segmented sort with S random segments")
     ap.add_argument("--check", action="store_true",
                     help="run the BASELINE config battery (uniform/presorted/reverse/lowentropy) with on-device verification")
     ap.add_argument("--adaptive", action="store_true",
@@ -508,6 +550,9 @@ def main():
         return
     if args.check:
         run_checks(args.n, backend, bits="auto" if args.adaptive else None)
+        return
+    if args.segmented:
+        bench_segmented(args.n, backend, num_segments=args.segmented, reps=args.reps)
         return
 
     if args.keys_only:

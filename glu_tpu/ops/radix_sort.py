@@ -474,9 +474,10 @@ def radix_sort_segmented(
     id — exactly enough low-bit passes to cover log2(num_segments) bits —
     carrying (key, value). Stability of the second sort preserves the key
     order within each segment, so the result is a per-segment stable key
-    sort. Equal-length segment ids come from an index division; offsets
-    segment ids from a vectorized searchsorted over the boundary array.
-    No gathers: every permutation is applied by the engine itself.
+    sort. Equal-length segment ids come from an index division on a carried
+    iota; offsets segment ids are built by scatter+cumsum on the original
+    layout and carried through the key sort as a payload. No gathers and no
+    per-element searches: every permutation is applied by the engine itself.
     bits= prunes the KEY sort (see radix_sort); the segment-id passes are
     already minimal.
     """
@@ -519,9 +520,10 @@ def _seg_steps(num_segments: int) -> int:
 
 def _radix_sort_segmented_offsets(keys, values, offsets, backend, bits):
     """Variable-length segmented sort (see radix_sort_segmented): segment
-    ids are recovered from each element's original index by binary search
-    over the boundary array — trace-safe (the boundaries may be traced
-    values; only their COUNT is static)."""
+    ids are built on the original layout (scatter + cumsum, O(n)) and ride
+    the key sort as a payload; the second sort keys on them directly.
+    Trace-safe (the boundaries may be traced values; only their COUNT is
+    static)."""
     offs = jnp.asarray(offsets)
     check_argument(offs.ndim == 1, "offsets must be 1-D")
     check_argument(
@@ -546,15 +548,21 @@ def _radix_sort_segmented_offsets(keys, values, offsets, backend, bits):
     positions = _norm_bits(bits, keys, 0)
     b1 = _sort_backend(backend, n, 2, _npasses_of(positions, NUM_PASSES))
     b2 = _sort_backend(backend, n, 2, _seg_steps(num_segments))
-    idx = jnp.arange(n, dtype=jnp.uint32)
-    offs_u = offs.astype(jnp.uint32)
-    k1, (v1, p1) = _radix_sort_streams(
-        jnp.copy(keys), (jnp.copy(values), idx), NUM_PASSES, b1, positions
+    # seg id of element i = number of interior boundaries <= i: scatter one
+    # increment per boundary + cumsum, built ONCE on the original layout
+    # and CARRIED as a payload through the key sort. No searchsorted and no
+    # gathers: a per-element binary search over the boundary array measured
+    # 20x slower than the whole sort at 268M (XLA:TPU gathers are
+    # element-at-a-time — the pathology that shaped the multi-stream
+    # engine, NOTES.md). Duplicate boundaries accumulate, so empty segments
+    # skip their id; a trailing offsets[s] == n scatters out of bounds and
+    # drops.
+    marks = jnp.zeros(n, jnp.uint32).at[offs[1:-1]].add(jnp.uint32(1), mode="drop")
+    seg_orig = jnp.cumsum(marks, dtype=jnp.uint32)
+    k1, (v1, s1) = _radix_sort_streams(
+        jnp.copy(keys), (jnp.copy(values), seg_orig), NUM_PASSES, b1, positions
     )
-    # segment of original index i: last s with offsets[s] <= i (duplicate
-    # boundaries = empty segments resolve to the FOLLOWING segment)
-    seg1 = (jnp.searchsorted(offs_u, p1, side="right") - 1).astype(jnp.uint32)
-    _, (k2, v2) = _radix_sort_streams(seg1, (k1, v1), _seg_steps(num_segments), b2)
+    _, (k2, v2) = _radix_sort_streams(s1, (k1, v1), _seg_steps(num_segments), b2)
     return k2, v2
 
 
