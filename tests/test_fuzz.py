@@ -168,3 +168,29 @@ def test_fuzz_adaptive_bits(trial, backend):
     order = np.argsort(comp, kind="stable")
     np.testing.assert_array_equal(np.asarray(gk), k[order])
     np.testing.assert_array_equal(np.asarray(gv), order.astype(np.uint32))
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_segmented_offsets(trial, backend):
+    """Random ragged boundary arrays — random segment counts, duplicate
+    boundaries (empty segments), boundary-at-0/n edge shapes, random key
+    entropy — against a per-segment stable argsort oracle."""
+    rng = np.random.default_rng(7000 + trial)
+    n = int(rng.integers(2, 6000))
+    s = int(rng.integers(1, 40))
+    cuts = np.sort(rng.integers(0, n + 1, s - 1)).astype(np.int32)
+    offs = np.concatenate([[0], cuts, [n]]).astype(np.int32)
+    lo = int(rng.integers(1, 1 << 32))
+    k = rng.integers(0, lo, n, dtype=np.uint32)  # random entropy incl. dups
+    v = np.arange(n, dtype=np.uint32)
+    from glu_tpu import radix_sort_segmented
+
+    gk, gv = radix_sort_segmented(
+        jnp.asarray(k), jnp.asarray(v), offsets=jnp.asarray(offs), backend=backend
+    )
+    gk, gv = np.asarray(gk), np.asarray(gv)
+    for i in range(len(offs) - 1):
+        seg = slice(int(offs[i]), int(offs[i + 1]))
+        order = np.argsort(k[seg], kind="stable") + int(offs[i])
+        np.testing.assert_array_equal(gk[seg], k[order])
+        np.testing.assert_array_equal(gv[seg], order.astype(np.uint32))
