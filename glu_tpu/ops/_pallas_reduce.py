@@ -112,7 +112,11 @@ def _pallas_reduce_flat(x: jax.Array, op: ReduceOperator) -> jax.Array:
     n = x.shape[0]
     dtype = x.dtype
     rows0 = -(-n // LANES)
-    block_rows = pick_block_rows(rows0, max_rows=512)
+    # 2048-row (1 MB) blocks: fewer sequential grid steps than the original
+    # 512-row cap, measured 633 -> ~700-900 GB/s effective read at 67M on
+    # the v5e (24-array differenced timing; the 512-row kernel trailed
+    # jnp.sum by ~10%, the 2048-row kernel matches or beats it)
+    block_rows = pick_block_rows(rows0, max_rows=2048)
     padded_n, rows, num_blocks = pad_to_grid(n, block_rows)
     if padded_n != n:
         x = jnp.pad(x, (0, padded_n - n), constant_values=identity_for(op, dtype))
