@@ -30,7 +30,6 @@ Usage: python proto/scaling_model.py [--quick]   (writes SCALING_MODEL_r04.json)
 import argparse
 import json
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -38,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bench import _chain_time, _rand_u32, _sync
+from bench import _chain_time, _rand_u32
 from glu_tpu import radix_sort, radix_sort_multi
 from glu_tpu.parallel.dist_sort import (
     _compact_blocks,
