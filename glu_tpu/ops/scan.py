@@ -77,12 +77,60 @@ def _check_scan_args(x: jax.Array, num_partitions: int, op) -> None:
     check_argument(isinstance(op, ReduceOperator), "Invalid operator: %s", op)
 
 
+def _segmented_scan_offsets(x, offsets, op, backend, inclusive: bool):
+    """Ragged segmented scan (offsets form, SUM only): one GLOBAL scan, then
+    subtract each element's segment-base prefix. The base step function is
+    built without per-element gathers (XLA:TPU gathers are element-at-a-
+    time): gather the S segment-start prefix values (an S-sized gather —
+    tiny), difference them, scatter the increments at the boundaries, and
+    cumsum back into a step function. Exact in the wrapping integer ring
+    (mod-2^w subtraction inverts mod-2^w addition), which is why the op is
+    restricted to integer SUM — the reference's scan is hardcoded to uint
+    `+` anyway (BlellochScan.hpp:99-100)."""
+    check_argument(
+        op == ReduceOperator.SUM, "offsets= supports op=SUM (exact inverse needed)"
+    )
+    check_argument(
+        jnp.issubdtype(x.dtype, jnp.integer),
+        "offsets= requires an integer dtype (exact wraparound ring), got %s",
+        x.dtype,
+    )
+    offs = jnp.asarray(offsets)
+    check_argument(offs.ndim == 1, "offsets must be 1-D")
+    check_argument(
+        jnp.issubdtype(offs.dtype, jnp.integer), "offsets must be integers, got %s", offs.dtype
+    )
+    num_segments = offs.shape[0] - 1
+    check_argument(num_segments >= 1, "offsets needs at least 2 entries")
+    n = x.shape[0]
+    import numpy as _np
+
+    if not isinstance(offs, jax.core.Tracer):
+        h = _np.asarray(offs)
+        check_argument(int(h[0]) == 0, "offsets[0] must be 0, got %d", int(h[0]))
+        check_argument(
+            int(h[-1]) == n, "offsets[-1] (%d) must equal len(x) (%d)", int(h[-1]), n
+        )
+        check_argument(bool((h[1:] >= h[:-1]).all()), "offsets must be nondecreasing")
+    if n == 0:
+        return x
+    b = _scan_impl(x, 1, op, resolve_backend(backend))  # global exclusive
+    starts = jnp.minimum(offs[:-1].astype(jnp.int32), n - 1)
+    vals = b[starts]  # (S,) scalars — a tiny gather
+    incs = jnp.diff(vals, prepend=jnp.zeros((1,), b.dtype).astype(vals.dtype))
+    sparse = jnp.zeros(n, b.dtype).at[offs[:-1]].add(incs.astype(b.dtype), mode="drop")
+    base = jnp.cumsum(sparse, dtype=b.dtype)
+    out = b - base
+    return combine_fn(op)(out, x) if inclusive else out
+
+
 def exclusive_scan(
     x: jax.Array,
     num_partitions: int = 1,
     op: ReduceOperator = ReduceOperator.SUM,
     *,
     backend: str | None = None,
+    offsets=None,
 ) -> jax.Array:
     """Exclusive prefix scan of x under `op` (default sum), independently over
     `num_partitions` adjacent equal-length partitions. Returns a new array
@@ -90,8 +138,20 @@ def exclusive_scan(
 
     x: (N,) with N divisible by num_partitions. Any partition length >= 1
     (power-of-2 NOT required — the reference's restriction is lifted).
+
+    offsets (extension): S+1 nondecreasing segment boundaries (CUB
+    begin/end style; empty segments allowed) scan each VARIABLE-length
+    segment independently — the ragged generalization of the reference's
+    equal-partition batching (BlellochScan.hpp:125-138). Integer SUM only
+    (one global scan + an exact mod-2^w segment-base subtraction); mutually
+    exclusive with num_partitions > 1.
     """
     _check_scan_args(x, num_partitions, op)
+    if offsets is not None:
+        check_argument(
+            num_partitions in (1, None), "offsets and num_partitions are mutually exclusive"
+        )
+        return _segmented_scan_offsets(x, offsets, op, backend, inclusive=False)
     return _scan_impl(x, num_partitions, op, resolve_backend(backend))
 
 
@@ -101,11 +161,18 @@ def inclusive_scan(
     op: ReduceOperator = ReduceOperator.SUM,
     *,
     backend: str | None = None,
+    offsets=None,
 ) -> jax.Array:
     """Inclusive prefix scan: `out[i] = op(x[j] for j <= i)` within each
     partition. Derived as `op(exclusive, x)` elementwise — exact for every
-    operator (wrapping uint32 sums/products included)."""
+    operator (wrapping uint32 sums/products included). See exclusive_scan
+    for the ragged `offsets=` form."""
     _check_scan_args(x, num_partitions, op)
+    if offsets is not None:
+        check_argument(
+            num_partitions in (1, None), "offsets and num_partitions are mutually exclusive"
+        )
+        return _segmented_scan_offsets(x, offsets, op, backend, inclusive=True)
     exc = _scan_impl(x, num_partitions, op, resolve_backend(backend))
     return combine_fn(op)(exc, x)
 

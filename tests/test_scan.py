@@ -198,3 +198,56 @@ def test_scan_class_partitions_subset(backend):
     scan(buf, 8, 4, backend=backend)  # scans first 32 elements as 4 partitions of 8
     np.testing.assert_array_equal(buf.get_data()[:32], _oracle(data[:32], 4))
     np.testing.assert_array_equal(buf.get_data()[32:], data[32:])
+
+
+def _seg_oracle(data, offs, inclusive):
+    out = np.zeros_like(data)
+    for s in range(len(offs) - 1):
+        seg = data[offs[s] : offs[s + 1]]
+        c = np.cumsum(seg.astype(np.uint64)).astype(data.dtype)
+        out[offs[s] : offs[s + 1]] = c if inclusive else np.concatenate([[data.dtype.type(0)], c[:-1]])
+    return out
+
+
+@pytest.mark.parametrize("inclusive", [False, True])
+def test_scan_segmented_offsets(inclusive, backend, seeded_rng):
+    # ragged segmented scan (offsets form) — variable-length segments incl.
+    # empty first/middle/last ones, vs a per-segment numpy oracle
+    from glu_tpu import exclusive_scan as ex, inclusive_scan as inc
+
+    rng = seeded_rng(61)
+    n = 3000
+    offs = np.array([0, 0, 5, 5, 700, 701, 2999, 3000, 3000], np.int32)
+    data = rng.sample_int_vector(n, 0, 2**32 - 1)
+    fn = inc if inclusive else ex
+    out = np.asarray(fn(jnp.asarray(data), backend=backend, offsets=jnp.asarray(offs)))
+    np.testing.assert_array_equal(out, _seg_oracle(data, offs, inclusive))
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_scan_segmented_offsets_fuzz(trial, backend, seeded_rng):
+    from glu_tpu import exclusive_scan as ex
+
+    rng = seeded_rng(600 + trial)
+    n = int(rng.rng.integers(1, 5000))
+    s = int(rng.rng.integers(1, 30))
+    cuts = np.sort(rng.rng.integers(0, n + 1, s - 1)).astype(np.int32)
+    offs = np.concatenate([[0], cuts, [n]]).astype(np.int32)
+    data = rng.sample_int_vector(n, 0, 2**32 - 1)
+    out = np.asarray(ex(jnp.asarray(data), backend=backend, offsets=jnp.asarray(offs)))
+    np.testing.assert_array_equal(out, _seg_oracle(data, offs, False))
+
+
+def test_scan_segmented_offsets_contract(backend):
+    from glu_tpu import exclusive_scan as ex
+    from glu_tpu.ops.reduce import ReduceOperator
+
+    x = jnp.arange(10, dtype=jnp.uint32)
+    with pytest.raises(GluArgumentError):  # non-SUM op
+        ex(x, op=ReduceOperator.MAX, backend=backend, offsets=jnp.array([0, 10], jnp.int32))
+    with pytest.raises(GluArgumentError):  # float dtype
+        ex(jnp.ones(10, jnp.float32), backend=backend, offsets=jnp.array([0, 10], jnp.int32))
+    with pytest.raises(GluArgumentError):  # bad boundary
+        ex(x, backend=backend, offsets=jnp.array([1, 10], jnp.int32))
+    with pytest.raises(GluArgumentError):  # combined with partitions
+        ex(x, 2, backend=backend, offsets=jnp.array([0, 10], jnp.int32))
