@@ -29,7 +29,7 @@ from .utils.math import (
 )
 from .utils.buffers import DeviceBuffer, copy_buffer
 from .utils.timing import measure_elapsed_time
-from .ops.reduce import Reduce, ReduceOperator, reduce
+from .ops.reduce import Reduce, ReduceOperator, reduce, segmented_reduce
 from .ops.scan import BlellochScan, exclusive_scan, inclusive_scan
 from .ops.radix_sort import (
     RadixSort,
@@ -69,6 +69,7 @@ __all__ = [
     "Reduce",
     "ReduceOperator",
     "reduce",
+    "segmented_reduce",
     "BlellochScan",
     "exclusive_scan",
     "inclusive_scan",

@@ -11,7 +11,7 @@ Each operator has:
     (pure jnp composition, the portable/correctness path).
 """
 
-from .reduce import Reduce, ReduceOperator, reduce
+from .reduce import Reduce, ReduceOperator, reduce, segmented_reduce
 from .scan import BlellochScan, exclusive_scan, inclusive_scan
 from .radix_sort import (
     RadixSort,

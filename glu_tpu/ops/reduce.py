@@ -108,6 +108,61 @@ def reduce(x: jax.Array, op: ReduceOperator = ReduceOperator.SUM, *, backend: st
     return _reduce_impl(x, op, resolve_backend(backend))
 
 
+def segmented_reduce(
+    x: jax.Array,
+    offsets,
+    op: ReduceOperator = ReduceOperator.SUM,
+    *,
+    backend: str | None = None,
+) -> jax.Array:
+    """Per-segment reduction over VARIABLE-length adjacent segments (CUB
+    DeviceSegmentedReduce-style begin/end `offsets`: S+1 nondecreasing
+    boundaries, empty segments allowed and reduce to 0). Returns an (S,)
+    array of segment sums — an extension beyond the reference (whose reduce
+    is whole-array only, Reduce.hpp:121-134).
+
+    Integer SUM only: segment sums are boundary differences of ONE global
+    inclusive scan (exact in the wrapping mod-2^w ring), costing a single
+    scan pass + an (S+1)-sized gather — no per-element gathers and no
+    per-segment dispatches.
+    """
+    check_argument(
+        op == ReduceOperator.SUM, "segmented_reduce supports op=SUM (exact differences needed)"
+    )
+    check_argument(x.ndim == 1, "segmented_reduce expects a 1-D array, got shape %s", x.shape)
+    check_argument(
+        jnp.issubdtype(x.dtype, jnp.integer),
+        "segmented_reduce requires an integer dtype (exact wraparound ring), got %s",
+        x.dtype,
+    )
+    offs = jnp.asarray(offsets)
+    check_argument(offs.ndim == 1, "offsets must be 1-D")
+    check_argument(
+        jnp.issubdtype(offs.dtype, jnp.integer), "offsets must be integers, got %s", offs.dtype
+    )
+    num_segments = offs.shape[0] - 1
+    check_argument(num_segments >= 1, "offsets needs at least 2 entries")
+    n = x.shape[0]
+    import numpy as _np
+
+    if not isinstance(offs, jax.core.Tracer):
+        h = _np.asarray(offs)
+        check_argument(int(h[0]) == 0, "offsets[0] must be 0, got %d", int(h[0]))
+        check_argument(
+            int(h[-1]) == n, "offsets[-1] (%d) must equal len(x) (%d)", int(h[-1]), n
+        )
+        check_argument(bool((h[1:] >= h[:-1]).all()), "offsets must be nondecreasing")
+    if n == 0:
+        return jnp.zeros((num_segments,), x.dtype)
+    from .scan import inclusive_scan
+
+    incl = inclusive_scan(x, op=op, backend=backend)
+    # prefix value BEFORE each boundary: 0 at boundary 0, incl[o-1] else
+    oi = offs.astype(jnp.int32)
+    pref = jnp.where(oi > 0, incl[jnp.maximum(oi - 1, 0)], jnp.zeros((), x.dtype))
+    return pref[1:] - pref[:-1]
+
+
 class Reduce:
     """Constructor-specialized reduce operator (reference glu/Reduce.hpp:51-136).
 

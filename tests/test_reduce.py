@@ -108,3 +108,53 @@ def test_reduce_count_subset(backend):
     buf = DeviceBuffer(np.arange(1, 11, dtype=np.uint32))
     op = Reduce(DataType.UINT, ReduceOperator.SUM)
     assert int(op(buf, 4, backend=backend)) == 10
+
+
+def _segred_oracle(data, offs):
+    return np.array(
+        [np.uint32(data[offs[s] : offs[s + 1]].astype(np.uint64).sum() & 0xFFFFFFFF)
+         for s in range(len(offs) - 1)],
+        dtype=np.uint32,
+    )
+
+
+def test_segmented_reduce(backend, seeded_rng):
+    from glu_tpu import segmented_reduce
+
+    rng = seeded_rng(73)
+    n = 3000
+    offs = np.array([0, 0, 5, 5, 700, 701, 2999, 3000, 3000], np.int32)
+    data = rng.sample_int_vector(n, 0, 2**32 - 1)
+    out = np.asarray(
+        segmented_reduce(jnp.asarray(data), jnp.asarray(offs), backend=backend)
+    )
+    np.testing.assert_array_equal(out, _segred_oracle(data, offs))
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_segmented_reduce_fuzz(trial, backend, seeded_rng):
+    from glu_tpu import segmented_reduce
+
+    rng = seeded_rng(800 + trial)
+    n = int(rng.rng.integers(1, 4000))
+    s = int(rng.rng.integers(1, 25))
+    cuts = np.sort(rng.rng.integers(0, n + 1, s - 1)).astype(np.int32)
+    offs = np.concatenate([[0], cuts, [n]]).astype(np.int32)
+    data = rng.sample_int_vector(n, 0, 2**32 - 1)
+    out = np.asarray(
+        segmented_reduce(jnp.asarray(data), jnp.asarray(offs), backend=backend)
+    )
+    np.testing.assert_array_equal(out, _segred_oracle(data, offs))
+
+
+def test_segmented_reduce_contract(backend):
+    from glu_tpu import ReduceOperator, segmented_reduce
+    from glu_tpu.utils.errors import GluArgumentError
+
+    x = jnp.arange(10, dtype=jnp.uint32)
+    with pytest.raises(GluArgumentError):  # non-SUM
+        segmented_reduce(x, jnp.array([0, 10], jnp.int32), ReduceOperator.MIN, backend=backend)
+    with pytest.raises(GluArgumentError):  # float
+        segmented_reduce(jnp.ones(10, jnp.float32), jnp.array([0, 10], jnp.int32), backend=backend)
+    with pytest.raises(GluArgumentError):  # bad bounds
+        segmented_reduce(x, jnp.array([0, 9], jnp.int32), backend=backend)
