@@ -501,14 +501,16 @@ def radix_sort_segmented(
     seg_steps = _seg_steps(p)
     part = n // p
     positions = _norm_bits(bits, keys, 0)
-    b1 = _sort_backend(backend, n, 2, _npasses_of(positions, NUM_PASSES))
-    b2 = _sort_backend(backend, n, 2, seg_steps)
+    b = _segmented_backend(backend, n, _npasses_of(positions, NUM_PASSES), seg_steps)
+    if b == "xla":
+        seg = jnp.arange(n, dtype=jnp.uint32) // jnp.uint32(part)
+        return _segmented_sort_xla(seg, keys, values, positions)
     idx = jnp.arange(n, dtype=jnp.uint32)
     k1, (v1, p1) = _radix_sort_streams(
-        jnp.copy(keys), (jnp.copy(values), idx), NUM_PASSES, b1, positions
+        jnp.copy(keys), (jnp.copy(values), idx), NUM_PASSES, b, positions
     )
     seg1 = p1 // jnp.uint32(part)  # segment id of each key-sorted element
-    _, (k2, v2) = _radix_sort_streams(seg1, (k1, v1), seg_steps, b2)
+    _, (k2, v2) = _radix_sort_streams(seg1, (k1, v1), seg_steps, b)
     return k2, v2
 
 
@@ -516,6 +518,47 @@ def _seg_steps(num_segments: int) -> int:
     """4-bit passes covering every segment id in 0..num_segments-1."""
     seg_bits = max(1, (num_segments - 1).bit_length())
     return -(-seg_bits // RADIX_BITS)
+
+
+def _segmented_backend(backend, n: int, key_passes: int, seg_steps: int) -> str:
+    """Backend for the SEGMENTED sorts. The platform expresses the whole
+    contract as ONE two-key stable sort (lax.sort(num_keys=2) over
+    (seg, key, value)); the engine needs the key sort + the segment-id sort
+    (key_passes + seg_steps radix passes). Measured at 268M/S=4096: 151.7 M
+    keys/s platform vs 125.5 engine — the extra sort KEY costs only ~4%
+    over the plain 3-operand sort, so the platform wins everywhere the
+    3-operand crossover hasn't flipped (~800M for full-width keys; much
+    smaller with bits= pruning)."""
+    import os
+
+    from .backend import _ENV_BACKEND, is_tpu_backend
+
+    if backend is None and not os.environ.get(_ENV_BACKEND) and is_tpu_backend():
+        lax_est = _lax_sort_est_s(n, 3) * 1.04
+        radix_est = _radix_est_s(n, 2, key_passes) + _radix_est_s(n, 2, seg_steps) - 40e-6
+        return "xla" if lax_est < radix_est else "pallas"
+    return resolve_backend(backend)
+
+
+@partial(jax.jit, static_argnames=("positions",))
+def _segmented_sort_xla(seg, keys, values, positions):
+    """One stable two-key platform sort realizing the segmented contract:
+    primary key = segment id (segments are adjacent and ascending, so
+    grouping them in order IS the segment layout), secondary key = the
+    (optionally bit-compacted) sort key, stable for the in-segment
+    contract. `positions` as in _sort_xla (None = full width)."""
+    if positions is None or positions == tuple(range(32)):
+        outs = jax.lax.sort((seg, keys, values), num_keys=2, is_stable=True)
+        return outs[1], outs[2]
+    cover = tuple(range(len(positions)))
+    if positions == cover:
+        comp = keys & jnp.uint32((1 << len(positions)) - 1)
+    else:
+        comp = jnp.zeros_like(keys)
+        for j, p in enumerate(positions):
+            comp = comp | (((keys >> jnp.uint32(p)) & jnp.uint32(1)) << jnp.uint32(j))
+    outs = jax.lax.sort((seg, comp, keys, values), num_keys=2, is_stable=True)
+    return outs[2], outs[3]
 
 
 def _radix_sort_segmented_offsets(keys, values, offsets, backend, bits):
@@ -546,23 +589,27 @@ def _radix_sort_segmented_offsets(keys, values, offsets, backend, bits):
     if n <= 1:
         return keys, values
     positions = _norm_bits(bits, keys, 0)
-    b1 = _sort_backend(backend, n, 2, _npasses_of(positions, NUM_PASSES))
-    b2 = _sort_backend(backend, n, 2, _seg_steps(num_segments))
+    b = _segmented_backend(
+        backend, n, _npasses_of(positions, NUM_PASSES), _seg_steps(num_segments)
+    )
     # seg id of element i = number of interior boundaries <= i: scatter one
-    # increment per boundary + cumsum, built ONCE on the original layout
-    # and CARRIED as a payload through the key sort. No searchsorted and no
-    # gathers: a per-element binary search over the boundary array measured
-    # 20x slower than the whole sort at 268M (XLA:TPU gathers are
-    # element-at-a-time — the pathology that shaped the multi-stream
-    # engine, NOTES.md). Duplicate boundaries accumulate, so empty segments
-    # skip their id; a trailing offsets[s] == n scatters out of bounds and
-    # drops.
+    # increment per boundary + cumsum, built ONCE on the original layout.
+    # No searchsorted and no per-element gathers: a binary search over the
+    # boundary array measured 20x slower than the whole sort at 268M
+    # (XLA:TPU gathers are element-at-a-time — the pathology that shaped
+    # the multi-stream engine, NOTES.md). Duplicate boundaries accumulate,
+    # so empty segments skip their id; a trailing offsets[s] == n scatters
+    # out of bounds and drops.
     marks = jnp.zeros(n, jnp.uint32).at[offs[1:-1]].add(jnp.uint32(1), mode="drop")
     seg_orig = jnp.cumsum(marks, dtype=jnp.uint32)
+    if b == "xla":
+        return _segmented_sort_xla(seg_orig, keys, values, positions)
+    # engine composition: the seg ids RIDE the key sort as a payload and
+    # the second (partial) sort keys on them directly
     k1, (v1, s1) = _radix_sort_streams(
-        jnp.copy(keys), (jnp.copy(values), seg_orig), NUM_PASSES, b1, positions
+        jnp.copy(keys), (jnp.copy(values), seg_orig), NUM_PASSES, b, positions
     )
-    _, (k2, v2) = _radix_sort_streams(s1, (k1, v1), _seg_steps(num_segments), b2)
+    _, (k2, v2) = _radix_sort_streams(s1, (k1, v1), _seg_steps(num_segments), b)
     return k2, v2
 
 
