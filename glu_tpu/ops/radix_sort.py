@@ -394,6 +394,59 @@ def radix_argsort(
     )
 
 
+def _u64_backend(backend, n: int, p_hi: int, p_lo: int, extra_ops: int) -> str:
+    """Backend for the 64-bit sorts. The platform expresses the whole
+    contract as ONE two-key stable sort over (hi, lo, value) — ~6.6 ns/key
+    at 268M — while the engine chains two full 3-stream sorts (~12.2):
+    the platform wins at every single-chip size for full-width u64 keys
+    (the flat radix cost only crosses the platform's log-growth near ~8B).
+    Per-word bits= pruning shrinks the engine side and adds composite
+    operands (`extra_ops`) to the platform side."""
+    import os
+
+    from .backend import _ENV_BACKEND, is_tpu_backend
+
+    if backend is None and not os.environ.get(_ENV_BACKEND) and is_tpu_backend():
+        lax_est = _lax_sort_est_s(n, 3 + extra_ops) * 1.04
+        radix_est = _radix_est_s(n, 2, p_hi) + _radix_est_s(n, 2, p_lo) - 40e-6
+        return "xla" if lax_est < radix_est else "pallas"
+    return resolve_backend(backend)
+
+
+def _word_composite(word, positions):
+    """(composite-or-None, is_identity) for one 32-bit word under the
+    pruned bit positions (None = full width)."""
+    if positions is None or positions == tuple(range(32)):
+        return word, True
+    if not positions:
+        return None, False  # constant word: contributes no ordering
+    cover = tuple(range(len(positions)))
+    if positions == cover:
+        return word & jnp.uint32((1 << len(positions)) - 1), False
+    comp = jnp.zeros_like(word)
+    for j, p in enumerate(positions):
+        comp = comp | (((word >> jnp.uint32(p)) & jnp.uint32(1)) << jnp.uint32(j))
+    return comp, False
+
+
+@partial(jax.jit, static_argnames=("pos_hi", "pos_lo"))
+def _u64_sort_xla(hi, lo, values, pos_hi, pos_lo):
+    """One stable multi-key platform sort for (hi, lo) 64-bit keys with
+    optional per-word bit pruning: sort keys are the (compacted) hi then lo
+    words; hi/lo/values ride as extra operands when compacted."""
+    comp_hi, id_hi = _word_composite(hi, pos_hi)
+    comp_lo, id_lo = _word_composite(lo, pos_lo)
+    sort_keys = [k for k in (comp_hi, comp_lo) if k is not None]
+    if not sort_keys:
+        return hi, lo, values  # no varying bits: identity permutation
+    if id_hi and id_lo:
+        outs = jax.lax.sort((hi, lo, values), num_keys=2, is_stable=True)
+        return outs[0], outs[1], outs[2]
+    operands = tuple(sort_keys) + (hi, lo, values)
+    outs = jax.lax.sort(operands, num_keys=len(sort_keys), is_stable=True)
+    return outs[-3], outs[-2], outs[-1]
+
+
 def radix_sort_u64_parts(
     keys_hi: jax.Array,
     keys_lo: jax.Array,
@@ -440,12 +493,19 @@ def radix_sort_u64_parts(
         )
         pos_hi = _norm_bits(tuple(pair[0]), keys_hi, 0)
         pos_lo = _norm_bits(tuple(pair[1]), keys_lo, 0)
-    b_lo = _sort_backend(backend, n, 2, _npasses_of(pos_lo, NUM_PASSES))
-    b_hi = _sort_backend(backend, n, 2, _npasses_of(pos_hi, NUM_PASSES))
-    lo1, (hi1, v1) = _radix_sort_streams(
-        jnp.copy(keys_lo), (jnp.copy(keys_hi), jnp.copy(values)), NUM_PASSES, b_lo, pos_lo
+    p_hi = _npasses_of(pos_hi, NUM_PASSES) if pos_hi is None or pos_hi else 0
+    p_lo = _npasses_of(pos_lo, NUM_PASSES) if pos_lo is None or pos_lo else 0
+    extra_ops = sum(
+        1 for pos in (pos_hi, pos_lo)
+        if pos is not None and pos and pos != tuple(range(32))
     )
-    hi2, (lo2, v2) = _radix_sort_streams(hi1, (lo1, v1), NUM_PASSES, b_hi, pos_hi)
+    b = _u64_backend(backend, n, p_hi, p_lo, extra_ops)
+    if b == "xla":
+        return _u64_sort_xla(keys_hi, keys_lo, values, pos_hi, pos_lo)
+    lo1, (hi1, v1) = _radix_sort_streams(
+        jnp.copy(keys_lo), (jnp.copy(keys_hi), jnp.copy(values)), NUM_PASSES, b, pos_lo
+    )
+    hi2, (lo2, v2) = _radix_sort_streams(hi1, (lo1, v1), NUM_PASSES, b, pos_hi)
     return hi2, lo2, v2
 
 
