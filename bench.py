@@ -158,6 +158,36 @@ def bench_segmented(n, backend, num_segments=4096, reps=3):
     )
 
 
+def bench_u64(n, backend, reps=3):
+    """64-bit key + u32 value sort ((hi, lo) halves form — no x64 needed)."""
+    from glu_tpu import radix_sort_u64_parts
+
+    hi = _rand_u32(n, 1)
+    lo = _rand_u32(n, 2)
+    vals = jnp.arange(n, dtype=jnp.uint32)
+
+    def run():
+        return radix_sort_u64_parts(hi, lo, vals, backend=backend)
+
+    _sync(run())  # warm-up/compile (inputs are copied internally, not donated)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _sync(run())
+        best = min(best, time.perf_counter() - t0)
+    best = max(best - _fence_floor(), 1e-9)
+    print(
+        json.dumps(
+            {
+                "metric": f"radix_sort_u64kv_keys_per_sec_n{n}",
+                "value": round(n / best, 1),
+                "unit": "keys/s",
+                "vs_kv_baseline": round(n / best / BASELINE_SORT_268M_KEYS_PER_S, 3),
+            }
+        )
+    )
+
+
 def bench_reduce(n, backend, reps=3):
     data = _rand_u32(n, 2)
     fn = lambda x: reduce(x, ReduceOperator.SUM, backend=backend)
@@ -511,6 +541,8 @@ def main():
                     help="benchmark radix_sort_keys (no value payload)")
     ap.add_argument("--segmented", type=int, default=0, metavar="S",
                     help="benchmark the variable-length segmented sort with S random segments")
+    ap.add_argument("--u64", action="store_true",
+                    help="benchmark the 64-bit key sort (radix_sort_u64_parts)")
     ap.add_argument("--check", action="store_true",
                     help="run the BASELINE config battery (uniform/presorted/reverse/lowentropy) with on-device verification")
     ap.add_argument("--adaptive", action="store_true",
@@ -553,6 +585,9 @@ def main():
         return
     if args.segmented:
         bench_segmented(args.n, backend, num_segments=args.segmented, reps=args.reps)
+        return
+    if args.u64:
+        bench_u64(args.n, backend, reps=args.reps)
         return
 
     if args.keys_only:
