@@ -66,3 +66,33 @@ def test_multi_stream_crossover(on_tpu):
     # ns/key at 67M, ~parity at 268M favoring the engine)
     assert rs._sort_backend(None, 2**24, 2, 8) == "xla"
     assert rs._sort_backend(None, 2**28, 2, 8) == "pallas"
+
+
+def test_routed_end_to_end_on_tpu(seeded_rng):
+    """Real-chip drive of BOTH routed paths (the CPU suite never routes —
+    is_tpu_backend() is false there). Runs only under
+    GLU_TPU_TEST_PLATFORM=tpu (the on-chip suite)."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    if os.environ.get("GLU_TPU_TEST_PLATFORM") != "tpu":
+        pytest.skip("routed paths engage on the real TPU only")
+    from glu_tpu import radix_sort
+
+    rng = seeded_rng(91)
+    n = 1 << 20
+    k = rng.sample_int_vector(n, 0, 2**32 - 1)
+    v = np.arange(n, dtype=np.uint32)
+    order = np.argsort(k, kind="stable")
+    # full-width at 1M routes to the platform sort
+    ok, ov = radix_sort(jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_array_equal(np.asarray(ok), k[order])
+    np.testing.assert_array_equal(np.asarray(ov), order.astype(np.uint32))
+    # pruned-bit at 1M routes to the engine
+    kl = (k % np.uint32(1 << 8)).astype(np.uint32)
+    order_l = np.argsort(kl, kind="stable")
+    ok2, ov2 = radix_sort(jnp.asarray(kl), jnp.asarray(v), bits="auto")
+    np.testing.assert_array_equal(np.asarray(ok2), kl[order_l])
+    np.testing.assert_array_equal(np.asarray(ov2), order_l.astype(np.uint32))
