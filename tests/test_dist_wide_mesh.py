@@ -1,0 +1,71 @@
+"""Wide-mesh distributed sort: D > 16 devices.
+
+The bucket partition needs TWO radix passes once device ids exceed 4 bits
+(_num_bucket_steps, dist_sort.py), and the splitter/offset machinery runs
+with 31 splitters — a path the 8-device conftest mesh never executes. The
+device count is fixed per process (XLA_FLAGS at backend init), so this
+runs in a SUBPROCESS with a 32-device CPU mesh.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+_SCRIPT = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=32"
+)
+import json
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys
+sys.path.insert(0, %(repo)r)
+import jax.numpy as jnp
+import numpy as np
+from glu_tpu.parallel import distributed_radix_sort, make_sort_mesh
+
+D = 32
+n = D * 2048
+rng = np.random.default_rng(7)
+k = rng.integers(0, 1 << 32, n, dtype=np.uint32)
+v = np.arange(n, dtype=np.uint32)
+mesh = make_sort_mesh()
+assert mesh.shape["shards"] == D, mesh.shape
+sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("shards"))
+ok, ov, counts, overflow = distributed_radix_sort(
+    jax.device_put(jnp.asarray(k), sh), jax.device_put(jnp.asarray(v), sh), mesh,
+    backend="xla",
+)
+assert int(np.asarray(overflow)[0]) == 0
+counts = np.asarray(counts)
+ok, ov = np.asarray(ok), np.asarray(ov)
+padded = ok.shape[0] // D
+gk = np.concatenate([ok[i * padded : i * padded + counts[i]] for i in range(D)])
+gv = np.concatenate([ov[i * padded : i * padded + counts[i]] for i in range(D)])
+order = np.argsort(k, kind="stable")
+assert (gk == k[order]).all()
+assert (gv == order.astype(np.uint32)).all()
+print(json.dumps({"ok": True, "devices": D, "n": n}))
+"""
+
+
+def test_dist_sort_32_devices():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("GLU_TPU_PALLAS_INTERPRET", None)
+    out = subprocess.run(
+        [sys.executable, "-c", _SCRIPT % {"repo": repo}],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["ok"] and rec["devices"] == 32
