@@ -50,6 +50,27 @@ gv = np.concatenate([ov[i * padded : i * padded + counts[i]] for i in range(D)])
 order = np.argsort(k, kind="stable")
 assert (gk == k[order]).all()
 assert (gv == order.astype(np.uint32)).all()
+
+# 64-bit keys through the same wide mesh (lexicographic splitters,
+# 4-payload partition, chained local sorts)
+from glu_tpu.parallel import distributed_radix_sort_u64_parts
+hi = rng.integers(0, 1 << 32, n, dtype=np.uint32)
+lo = rng.integers(0, 1 << 32, n, dtype=np.uint32)
+oh, ol, ov2, counts2, overflow2 = distributed_radix_sort_u64_parts(
+    jax.device_put(jnp.asarray(hi), sh), jax.device_put(jnp.asarray(lo), sh),
+    jax.device_put(jnp.asarray(v), sh), mesh, backend="xla",
+)
+assert int(np.asarray(overflow2)[0]) == 0
+counts2 = np.asarray(counts2)
+oh, ol, ov2 = np.asarray(oh), np.asarray(ol), np.asarray(ov2)
+padded2 = oh.shape[0] // D
+gh = np.concatenate([oh[i * padded2 : i * padded2 + counts2[i]] for i in range(D)])
+gl = np.concatenate([ol[i * padded2 : i * padded2 + counts2[i]] for i in range(D)])
+g2 = np.concatenate([ov2[i * padded2 : i * padded2 + counts2[i]] for i in range(D)])
+full = (hi.astype(np.uint64) << np.uint64(32)) | lo
+order64 = np.argsort(full, kind="stable")
+assert (gh == hi[order64]).all() and (gl == lo[order64]).all()
+assert (g2 == order64.astype(np.uint32)).all()
 print(json.dumps({"ok": True, "devices": D, "n": n}))
 """
 
