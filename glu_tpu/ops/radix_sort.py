@@ -627,23 +627,10 @@ def _radix_sort_segmented_offsets(keys, values, offsets, backend, bits):
     the key sort as a payload; the second sort keys on them directly.
     Trace-safe (the boundaries may be traced values; only their COUNT is
     static)."""
-    offs = jnp.asarray(offsets)
-    check_argument(offs.ndim == 1, "offsets must be 1-D")
-    check_argument(
-        jnp.issubdtype(offs.dtype, jnp.integer), "offsets must be integers, got %s", offs.dtype
-    )
-    num_segments = offs.shape[0] - 1
-    check_argument(num_segments >= 1, "offsets needs at least 2 entries")
-    n = keys.shape[0]
-    import numpy as _np
+    from ._segments import validate_offsets
 
-    if not isinstance(offs, jax.core.Tracer):  # concrete: validate the contract
-        h = _np.asarray(offs)
-        check_argument(int(h[0]) == 0, "offsets[0] must be 0, got %d", int(h[0]))
-        check_argument(
-            int(h[-1]) == n, "offsets[-1] (%d) must equal len(keys) (%d)", int(h[-1]), n
-        )
-        check_argument(bool((h[1:] >= h[:-1]).all()), "offsets must be nondecreasing")
+    n = keys.shape[0]
+    offs, num_segments = validate_offsets(offsets, n)
     if num_segments == 1:
         return radix_sort(keys, values, backend=backend, bits=bits)
     if n <= 1:

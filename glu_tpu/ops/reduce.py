@@ -135,23 +135,10 @@ def segmented_reduce(
         "segmented_reduce requires an integer dtype (exact wraparound ring), got %s",
         x.dtype,
     )
-    offs = jnp.asarray(offsets)
-    check_argument(offs.ndim == 1, "offsets must be 1-D")
-    check_argument(
-        jnp.issubdtype(offs.dtype, jnp.integer), "offsets must be integers, got %s", offs.dtype
-    )
-    num_segments = offs.shape[0] - 1
-    check_argument(num_segments >= 1, "offsets needs at least 2 entries")
-    n = x.shape[0]
-    import numpy as _np
+    from ._segments import validate_offsets
 
-    if not isinstance(offs, jax.core.Tracer):
-        h = _np.asarray(offs)
-        check_argument(int(h[0]) == 0, "offsets[0] must be 0, got %d", int(h[0]))
-        check_argument(
-            int(h[-1]) == n, "offsets[-1] (%d) must equal len(x) (%d)", int(h[-1]), n
-        )
-        check_argument(bool((h[1:] >= h[:-1]).all()), "offsets must be nondecreasing")
+    n = x.shape[0]
+    offs, num_segments = validate_offsets(offsets, n)
     if n == 0:
         return jnp.zeros((num_segments,), x.dtype)
     from .scan import inclusive_scan
