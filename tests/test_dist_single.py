@@ -84,3 +84,44 @@ def test_single_file_has_full_surface(single_module):
         assert hasattr(single_module, name), f"package export missing: {name}"
     for name in glu_tpu.parallel.__all__:
         assert hasattr(single_module, name), f"parallel export missing: {name}"
+
+
+def test_single_file_ragged_paths_functional(single_module, seeded_rng):
+    """The ragged (offsets=) forms lazily import ops/_segments inside their
+    function bodies, so a module missing from generate.py's MODULES list
+    passes the surface/import tests and only crashes at CALL time (this
+    exact bug shipped briefly in round 4). Exercise every offsets= entry
+    point end to end from the amalgamation."""
+    rng = seeded_rng(77)
+    n = 3000
+    cuts = np.sort(rng.sample_int_vector(7, 0, n).astype(np.int64))
+    offs = np.concatenate([[0], cuts, [n]]).astype(np.int32)
+    k = rng.sample_int_vector(n, 0, 2**32 - 1)
+    v = np.arange(n, dtype=np.uint32)
+
+    ok, _ = single_module.radix_sort_segmented(
+        jnp.asarray(k), jnp.asarray(v), offsets=jnp.asarray(offs), backend="xla"
+    )
+    for s in range(len(offs) - 1):
+        seg = slice(int(offs[s]), int(offs[s + 1]))
+        np.testing.assert_array_equal(np.asarray(ok)[seg], np.sort(k[seg], kind="stable"))
+
+    got = np.asarray(
+        single_module.exclusive_scan(jnp.asarray(k), offsets=jnp.asarray(offs), backend="xla")
+    )
+    exp = np.zeros_like(k)
+    for s in range(len(offs) - 1):
+        seg = k[offs[s] : offs[s + 1]]
+        c = np.cumsum(seg.astype(np.uint64)).astype(np.uint32)
+        exp[offs[s] : offs[s + 1]] = np.concatenate([[np.uint32(0)], c[:-1]])
+    np.testing.assert_array_equal(got, exp)
+
+    sums = np.asarray(
+        single_module.segmented_reduce(jnp.asarray(k), jnp.asarray(offs), backend="xla")
+    )
+    exp_sums = np.array(
+        [np.uint32(k[offs[s] : offs[s + 1]].astype(np.uint64).sum() & 0xFFFFFFFF)
+         for s in range(len(offs) - 1)],
+        np.uint32,
+    )
+    np.testing.assert_array_equal(sums, exp_sums)
