@@ -221,6 +221,38 @@ def _compact_blocks(received, fills, recv_counts, num_devices: int, total_slots:
     return outs, jnp.sum(recv_counts)
 
 
+def ragged_exchange_plan(row_counts, recv_capacity):
+    """Pure descriptor algebra for the ragged bucket exchange — shared by the
+    sequential (rows = source devices) and chunked (rows = (src, chunk) pairs
+    in src-major, chunk-minor order) paths, and unit-tested on CPU against a
+    numpy simulation of ragged_all_to_all semantics (tests/test_ragged_plan.py)
+    since the collective itself executes only on TPU pods.
+
+    row_counts: (R, D) — row r sends row_counts[r, d] elements to device d;
+    rows are placed in ascending-r order in each receiver's buffer.
+    recv_capacity: receiver buffer length (the sort budget).
+
+    Returns (starts, sizes, total_recv):
+      starts[r, d]   — offset in device d's buffer where row r's block lands;
+      sizes[r, d]    — elements actually written (clamped);
+      total_recv[d]  — TRUE received total (pre-clamp; > recv_capacity on
+                       overflow — the caller's flag discards that attempt).
+
+    Clamp invariants (the reason this algebra is factored out): the transfer
+    EXECUTES even on an overflowing attempt, so every write must stay in
+    bounds — starts <= recv_capacity and sizes <= recv_capacity - starts by
+    construction, hence starts + sizes <= recv_capacity always; when
+    total_recv[d] <= recv_capacity no clamp engages and the placement is the
+    exact packed (ascending-row) layout. Sender r and receiver d both derive
+    their descriptors from the same all-gathered row_counts, so
+    send_sizes[r][d] == recv_sizes[d][r] agree by construction."""
+    starts_all = jnp.cumsum(row_counts, axis=0) - row_counts
+    total_recv = jnp.sum(row_counts, axis=0)
+    starts = jnp.minimum(starts_all, recv_capacity)
+    sizes = jnp.minimum(row_counts, recv_capacity - starts)
+    return starts, sizes, total_recv
+
+
 def _exchange_ragged(arrays, fills, counts, offsets, axis_name, num_devices, recv_capacity):
     """Bucket exchange via XLA's ragged all-to-all over ICI (TPU pods; not
     implemented by XLA:CPU). No per-(src,dst) block capacity exists in this
@@ -240,13 +272,9 @@ def _exchange_ragged(arrays, fills, counts, offsets, axis_name, num_devices, rec
     me = jax.lax.axis_index(axis_name)
     # counts_all[s, d] = elements device s sends to device d (D x D, tiny)
     counts_all = jax.lax.all_gather(counts, axis_name)
-    # where s's block starts in d's buffer: sum over src < s of counts_all[src, d]
-    starts_all = jnp.cumsum(counts_all, axis=0) - counts_all      # (D src, D dst)
-    total_recv = jnp.sum(counts_all[:, me])
+    starts_c, counts_c, total_recv_all = ragged_exchange_plan(counts_all, recv_capacity)
+    total_recv = total_recv_all[me]
     overflow = total_recv > recv_capacity
-    # symmetric clamp: block [start, start+count) -> buffer [0, recv_capacity)
-    starts_c = jnp.minimum(starts_all, recv_capacity)
-    counts_c = jnp.minimum(counts_all, recv_capacity - starts_c)
     output_offsets = starts_c[me]       # my blocks' starts at each destination
     send_sizes = counts_c[me]
     recv_sizes = counts_c[:, me]        # from each src into my buffer
@@ -346,11 +374,9 @@ def _exchange_and_sort_chunked(
         counts_mat = jnp.stack([p[1] for p in chunk_parts])          # (C, D)
         counts_all = jax.lax.all_gather(counts_mat, axis_name)       # (D, C, D)
         flat = counts_all.reshape(num_devices * num_chunks, num_devices)
-        starts_flat = jnp.cumsum(flat, axis=0) - flat                # (D*C, D dst)
-        total_recv = jnp.sum(flat[:, me])
+        starts_c, counts_c, total_recv_all = ragged_exchange_plan(flat, recv_capacity)
+        total_recv = total_recv_all[me]
         overflow = total_recv > recv_capacity
-        starts_c = jnp.minimum(starts_flat, recv_capacity)
-        counts_c = jnp.minimum(flat, recv_capacity - starts_c)
         outs = [jnp.full((recv_capacity,), fill, dtype=jnp.uint32) for fill in fills]
         for c in range(num_chunks):
             arrs_c, _, offs_c = chunk_parts[c]
