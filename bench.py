@@ -355,7 +355,11 @@ def vs_xla_table(backend):
             f"cumsum {_fmt_ms(t_xla)} ({n * 4 / t_xla / 1e9:7.1f} GB/s)   "
             f"speedup {t_xla / t_glu:5.2f}x"
         )
-    print("## Reduce u32 sum: glu reduce vs jnp.sum")
+    print("## Reduce u32 sum: engine kernel vs jnp.sum vs routed default")
+    print("#  (chained s+reduce(s) timing: measures the FUSED composition —")
+    print("#  XLA folds the chain's elementwise add into its reducer, eliding")
+    print("#  one HBM read/iter; standalone the two are both at HBM roofline,")
+    print("#  proto/reduce_lab2.py. The routed default takes the platform.)")
     for n in sizes:
         x = _rand_u32(n, 4)
         it = _ladder_iters(n, 2**31)
@@ -363,10 +367,14 @@ def vs_xla_table(backend):
             lambda s_: s_ + reduce(s_, ReduceOperator.SUM, backend=backend), x, it
         )
         t_xla = _chain_time(lambda s_: s_ + jnp.sum(s_, dtype=jnp.uint32), x, it)
+        t_routed = _chain_time(
+            lambda s_: s_ + reduce(s_, ReduceOperator.SUM), x, it
+        )
         print(
-            f"{n:>12} glu {_fmt_ms(t_glu)} ({n * 4 / t_glu / 1e9:7.1f} GB/s)   "
+            f"{n:>12} engine {_fmt_ms(t_glu)} ({n * 4 / t_glu / 1e9:7.1f} GB/s)   "
             f"jnp.sum {_fmt_ms(t_xla)} ({n * 4 / t_xla / 1e9:7.1f} GB/s)   "
-            f"speedup {t_xla / t_glu:5.2f}x"
+            f"routed {_fmt_ms(t_routed)}   "
+            f"routed-vs-platform {t_xla / t_routed:5.2f}x"
         )
 
 

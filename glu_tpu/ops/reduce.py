@@ -79,6 +79,32 @@ def combine_fn(op: ReduceOperator):
     }[op]
 
 
+def _reduce_backend(backend) -> str:
+    """Resolve the reduce backend; None/unset on TPU routes to the platform.
+
+    Measured round 5 (proto/reduce_lab2.py, differenced multi-array timing —
+    each reduce standalone, no cross-iteration fusion): the Pallas kernel and
+    the platform reducer are BOTH at the HBM roofline for HBM-resident sizes
+    (743 GB/s each on 2 GB arrays, i.e. ~91% of the v5e's 819 GB/s spec;
+    equal within run-to-run noise at 268 MB), and at small/mid sizes the
+    platform's lower dispatch cost wins. The platform additionally FUSES a
+    reduce into neighboring elementwise passes over the same array — the
+    round-4 VS_XLA chained harness measured exactly that composition
+    (0.74-0.79x against the opaque custom call, which elides one full HBM
+    read) and it is structurally unavailable to any custom kernel. With no
+    size regime where the kernel wins, the router is a constant: platform on
+    TPU. An explicit backend= or GLU_TPU_BACKEND still selects the kernel
+    (the GLSL-parity component, reference Reduce.hpp:11-38; CI drives it in
+    interpret mode and the on-chip suite drives it for real)."""
+    import os
+
+    from .backend import _ENV_BACKEND, is_tpu_backend
+
+    if backend is None and not os.environ.get(_ENV_BACKEND) and is_tpu_backend():
+        return "xla"
+    return resolve_backend(backend)
+
+
 @partial(jax.jit, static_argnames=("op", "backend"))
 def _reduce_impl(x: jax.Array, op: ReduceOperator, backend: str) -> jax.Array:
     if backend == "pallas":
@@ -105,7 +131,7 @@ def reduce(x: jax.Array, op: ReduceOperator = ReduceOperator.SUM, *, backend: st
     """
     check_argument(x.ndim in (1, 2), "reduce expects (N,) or (N, C) input, got shape %s", x.shape)
     check_argument(x.shape[0] >= 1, "reduce requires count >= 1")
-    return _reduce_impl(x, op, resolve_backend(backend))
+    return _reduce_impl(x, op, _reduce_backend(backend))
 
 
 def segmented_reduce(

@@ -68,6 +68,27 @@ def test_multi_stream_crossover(on_tpu):
     assert rs._sort_backend(None, 2**28, 2, 8) == "pallas"
 
 
+def test_reduce_routes_to_platform_on_tpu(on_tpu, monkeypatch):
+    """Round-5 router: reduce defaults to the platform on TPU (both sides
+    are at HBM roofline standalone; the platform additionally fuses into
+    neighboring elementwise passes — proto/reduce_lab2.py)."""
+    rd = importlib.import_module("glu_tpu.ops.reduce")
+
+    assert rd._reduce_backend(None) == "xla"
+    assert rd._reduce_backend("pallas") == "pallas"
+    monkeypatch.setenv("GLU_TPU_BACKEND", "pallas")
+    assert rd._reduce_backend(None) == "pallas"
+
+
+def test_reduce_router_off_tpu(monkeypatch):
+    from glu_tpu.ops import backend as be
+
+    rd = importlib.import_module("glu_tpu.ops.reduce")
+    monkeypatch.setattr(be, "is_tpu_backend", lambda: False)
+    monkeypatch.delenv("GLU_TPU_BACKEND", raising=False)
+    assert rd._reduce_backend(None) == "xla"
+
+
 def test_routed_end_to_end_on_tpu(seeded_rng):
     """Real-chip drive of BOTH routed paths (the CPU suite never routes —
     is_tpu_backend() is false there). Runs only under
