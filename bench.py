@@ -121,8 +121,9 @@ def bench_sort_keys(n, backend, reps=3):
 def bench_segmented(n, backend, num_segments=4096, reps=3):
     """Variable-length segmented sort (offsets form): S random ragged
     segments over n pairs. Composition cost = full key sort + segment-id
-    recovery (searchsorted over S+1 boundaries) + ceil(log16 S)-pass
-    segment-id sort."""
+    construction (scatter one increment per boundary + cumsum — a
+    searchsorted over the boundaries measured 20x slower, see
+    ops/radix_sort.py) + ceil(log16 S)-pass segment-id sort."""
     from glu_tpu import radix_sort_segmented
 
     keys = _rand_u32(n, 1)

@@ -98,16 +98,31 @@ def _radix_est_s(n: int, num_streams: int, npasses: int) -> float:
     return 40e-6 + n * (0.25 + npasses * per_pass) * 1e-9
 
 
-def _sort_backend(backend, n: int, num_streams: int, npasses: int) -> str:
+def _is_full_cover(positions, npasses: int) -> bool:
+    """True iff _sort_xla would need NO composite-word operand: the sort
+    covers the full contiguous bits 0..31 (positions None with all passes,
+    or an explicit tuple equal to (0..31) — a non-contiguous pruned set of
+    29-32 positions still composites, ADVICE r4)."""
+    if positions is None:
+        return npasses >= NUM_PASSES
+    return positions == tuple(range(32))
+
+
+def _sort_backend(backend, n: int, num_streams: int, npasses: int,
+                  full_cover: bool | None = None) -> str:
     """Resolve the sort backend; a None/unset choice on TPU auto-dispatches
-    by the measured cost models above."""
+    by the measured cost models above. full_cover: whether the platform side
+    avoids the composite-word operand (defaults to npasses covering all 8,
+    the positions-free contract)."""
     import os
 
     from .backend import _ENV_BACKEND, is_tpu_backend
 
     if backend is None and not os.environ.get(_ENV_BACKEND) and is_tpu_backend():
+        if full_cover is None:
+            full_cover = npasses >= NUM_PASSES
         # a pruned/partial sort adds the composite word as an extra operand
-        ops = 1 + num_streams + (1 if npasses < NUM_PASSES else 0)
+        ops = 1 + num_streams + (0 if full_cover else 1)
         lax_est = _lax_sort_est_s(n, ops)
         radix_est = _radix_est_s(n, num_streams, npasses)
         return "xla" if lax_est < radix_est else "pallas"
@@ -312,7 +327,8 @@ def radix_sort(
     if descending:
         keys = ~keys  # complement preserves the varying-bit set
     positions = _norm_bits(bits, keys, num_steps)
-    b = _sort_backend(backend, keys.shape[0], 1, _npasses_of(positions, steps))
+    b = _sort_backend(backend, keys.shape[0], 1, _npasses_of(positions, steps),
+                      _is_full_cover(positions, steps))
     out_k, out_v = _radix_sort_kv(keys, values, steps, b, positions)
     if descending:
         out_k = ~out_k
@@ -331,7 +347,8 @@ def radix_sort_keys(
         return keys
     steps = _norm_steps(num_steps)
     positions = _norm_bits(bits, keys, num_steps)
-    b = _sort_backend(backend, keys.shape[0], 0, _npasses_of(positions, steps))
+    b = _sort_backend(backend, keys.shape[0], 0, _npasses_of(positions, steps),
+                      _is_full_cover(positions, steps))
     return _radix_sort_k(keys, steps, b, positions)
 
 
@@ -364,7 +381,8 @@ def radix_sort_multi(
         return keys, payloads
     steps = _norm_steps(num_steps)
     positions = _norm_bits(bits, keys, num_steps)
-    b = _sort_backend(backend, keys.shape[0], len(payloads), _npasses_of(positions, steps))
+    b = _sort_backend(backend, keys.shape[0], len(payloads),
+                      _npasses_of(positions, steps), _is_full_cover(positions, steps))
     return _radix_sort_streams(keys, payloads, steps, b, positions)
 
 
@@ -725,7 +743,8 @@ def radix_sort_f32(
     if descending:
         ku = ~ku
     positions = _norm_bits(bits, ku, 0)
-    b = _sort_backend(backend, ku.shape[0], 1, _npasses_of(positions, NUM_PASSES))
+    b = _sort_backend(backend, ku.shape[0], 1, _npasses_of(positions, NUM_PASSES),
+                      _is_full_cover(positions, NUM_PASSES))
     ku, out_v = _radix_sort_kv(ku, values, NUM_PASSES, b, positions)
     if descending:
         ku = ~ku
@@ -757,7 +776,8 @@ def radix_sort_i32(
     if descending:
         ku = ~ku
     positions = _norm_bits(bits, ku, 0)
-    b = _sort_backend(backend, ku.shape[0], 1, _npasses_of(positions, NUM_PASSES))
+    b = _sort_backend(backend, ku.shape[0], 1, _npasses_of(positions, NUM_PASSES),
+                      _is_full_cover(positions, NUM_PASSES))
     ku, out_v = _radix_sort_kv(ku, values, NUM_PASSES, b, positions)
     if descending:
         ku = ~ku

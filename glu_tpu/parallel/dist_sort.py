@@ -73,8 +73,11 @@ def _sample_splitters(keys, axis_name: str, num_devices: int, num_samples: int):
     device. Returns (splitter_keys, splitter_indices)."""
     n = keys.shape[0]
     me = jax.lax.axis_index(axis_name)
-    stride = max(n // num_samples, 1)
-    take = min(num_samples, n)
+    # ceil-stride so samples SPAN the whole shard: a floor stride of 1 on
+    # shards with n in (num_samples, 2*num_samples) would sample only a
+    # prefix, biasing splitters on sorted/structured shards (ADVICE r4)
+    stride = -(-n // num_samples)
+    take = min(num_samples, -(-n // stride))
     local_samples = jax.lax.dynamic_slice(keys[::stride], (0,), (take,))
     # global index of local element i is me*n + i (device-major == stable
     # global input order)
@@ -112,8 +115,9 @@ def _sample_splitters64(hi, lo, axis_name: str, num_devices: int, num_samples: i
     (hi, lo, global index) order. Returns (s_hi, s_lo, s_idx)."""
     n = hi.shape[0]
     me = jax.lax.axis_index(axis_name)
-    stride = max(n // num_samples, 1)
-    take = min(num_samples, n)
+    # ceil-stride spanning the shard (see _sample_splitters)
+    stride = -(-n // num_samples)
+    take = min(num_samples, -(-n // stride))
     local_hi = jax.lax.dynamic_slice(hi[::stride], (0,), (take,))
     local_lo = jax.lax.dynamic_slice(lo[::stride], (0,), (take,))
     local_idx = (me * n + jnp.arange(take, dtype=jnp.uint32) * stride).astype(jnp.uint32)
