@@ -147,6 +147,44 @@ def _bucket_of64(hi, lo, axis_name: str, s_hi, s_lo, s_idx):
     return bucket
 
 
+def _mesh_is_tpu(mesh) -> bool:
+    """True when the mesh's devices are TPUs (incl. tunneled platforms whose
+    device_kind reports TPU, and AOT topology devices)."""
+    dev = mesh.devices.flat[0]
+    return dev.platform == "tpu" or "TPU" in getattr(dev, "device_kind", "")
+
+
+def _resolve_exchange(exchange: str, mesh, num_devices: int) -> str:
+    """Resolve exchange="auto": ragged_all_to_all on real TPU meshes with
+    D >= 2 (robust to block-level skew, no padding tax — the scaling model's
+    required configuration, SCALING_MODEL_r05.json), padded elsewhere
+    (XLA:CPU does not implement the ragged collective)."""
+    check_argument(
+        exchange in ("auto", "padded", "ragged"),
+        "exchange must be auto/padded/ragged, got %s", exchange,
+    )
+    if exchange != "auto":
+        return exchange
+    return "ragged" if (num_devices > 1 and _mesh_is_tpu(mesh)) else "padded"
+
+
+def _resolve_chunks(pipeline_chunks, num_devices: int, local_n: int) -> int:
+    """Resolve pipeline_chunks="auto": 2 chunks on D >= 2 when the shard
+    divides evenly (overlap the exchange under the partition work — the
+    scaling model prices the hidden term, SCALING_MODEL_r05.json), else 1.
+    Explicit ints are validated and honored."""
+    if pipeline_chunks == "auto":
+        return 2 if (num_devices > 1 and local_n % 2 == 0 and local_n >= 2) else 1
+    chunks = int(pipeline_chunks)
+    check_argument(chunks >= 1, "pipeline_chunks must be >= 1")
+    check_argument(
+        local_n % chunks == 0,
+        "local shard length %d not divisible by pipeline_chunks=%d",
+        local_n, chunks,
+    )
+    return chunks
+
+
 def _num_bucket_steps(num_devices: int) -> int:
     """Radix passes needed to sort bucket ids in [0, D): 4 bits per pass."""
     bits = max(int(num_devices - 1).bit_length(), 1)
@@ -565,13 +603,13 @@ def distributed_radix_sort(
     *,
     axis_name: str = "shards",
     capacity_factor: float = 2.0,
-    recv_capacity_factor: float = 1.1,
+    recv_capacity_factor: float = 1.05,
     num_samples: int = 4096,
     backend: str | None = None,
-    exchange: str = "padded",
+    exchange: str = "auto",
     max_retries: int = 3,
     descending: bool = False,
-    pipeline_chunks: int = 1,
+    pipeline_chunks="auto",
     bits=None,
 ):
     """Globally sort sharded u32 (key, value) pairs across `mesh`.
@@ -591,31 +629,36 @@ def distributed_radix_sort(
     (ops/radix_sort.py); pad slots then hold 0x00000000 instead of
     0xFFFFFFFF (still positionally after every real element).
 
-    exchange: "padded" (dense all_to_all with per-(src,dst) block capacity
-    capacity_factor*n_local/D — portable, but range-correlated inputs like
-    pre-sorted data concentrate whole shards into single blocks and can need
-    capacity_factor up to D) or "ragged" (jax.lax.ragged_all_to_all —
-    robust to block-level skew; XLA implements it for TPU, not CPU).
+    exchange: "auto" (the default) takes "ragged" on TPU meshes with D >= 2
+    and "padded" elsewhere. "padded" is a dense all_to_all with per-(src,dst)
+    block capacity capacity_factor*n_local/D — portable, but range-correlated
+    inputs like pre-sorted data concentrate whole shards into single blocks
+    and can need capacity_factor up to D. "ragged" (jax.lax.ragged_all_to_all)
+    is robust to block-level skew and pays no padding tax; XLA implements it
+    for TPU, not CPU.
 
     recv_capacity_factor bounds the RECEIVER side: each device's final local
     sort — the dominant cost — runs over recv_capacity_factor*n_local slots,
     so it is the largest efficiency knob at scale (the scaling model prices
-    the budget tax directly, SCALING_MODEL_r04.json). With the default 4096
+    the budget tax directly, SCALING_MODEL_r05.json). With the default 4096
     samples/device the index-tiebroken splitters keep worst-case received
-    totals within ~4% of n_local across uniform/zipf/low-entropy/presorted
-    distributions (5-trial sim, NOTES.md round-4), so the 1.1 default has
-    ~2.5x margin; block-level skew is absorbed by the per-block capacity,
-    not the sort length. With one device both factors are ignored and the
-    sort is exact (n_local slots, no exchange).
+    totals within ~4.3% of n_local across uniform/zipf/low-entropy/presorted
+    distributions (5-trial sim, NOTES.md round-4), so the 1.05 default still
+    has margin, and the lossless retry covers the tail; block-level skew is
+    absorbed by the per-block capacity, not the sort length. With one device
+    both factors are ignored and the sort is exact (n_local slots, no
+    exchange).
 
-    pipeline_chunks > 1 cuts each shard into that many adjacent chunks,
+    pipeline_chunks cuts each shard into that many adjacent chunks,
     partitioned and exchanged independently so XLA's latency-hiding
     scheduler can overlap chunk c's ICI exchange with chunk c+1's partition
     work (SURVEY §7 step 7; the final local sort remains the barrier).
-    Requires the local shard length divisible by pipeline_chunks. The
-    per-(src,dst) block capacity applies PER CHUNK, so block-level skew
-    tolerance scales with capacity_factor exactly as in the sequential
-    path (chunked blocks are 1/pipeline_chunks the size).
+    "auto" (the default) uses 2 chunks on D >= 2 meshes when the shard
+    length divides evenly, 1 otherwise; explicit values require the local
+    shard length divisible by pipeline_chunks. The per-(src,dst) block
+    capacity applies PER CHUNK, so block-level skew tolerance scales with
+    capacity_factor exactly as in the sequential path (chunked blocks are
+    1/pipeline_chunks the size).
 
     Overflow handling is LOSSLESS for max_retries > 0: inputs are never
     donated, so when an attempt reports overflow the sort is simply re-run
@@ -643,13 +686,8 @@ def distributed_radix_sort(
         num_devices,
     )
     local_n = keys.shape[0] // num_devices
-    chunks = int(pipeline_chunks)
-    check_argument(chunks >= 1, "pipeline_chunks must be >= 1")
-    check_argument(
-        local_n % chunks == 0,
-        "local shard length %d not divisible by pipeline_chunks=%d",
-        local_n, chunks,
-    )
+    chunks = _resolve_chunks(pipeline_chunks, num_devices, local_n)
+    exchange = _resolve_exchange(exchange, mesh, num_devices)
     if descending:
         keys = ~keys  # bitwise NOT reverses u32 order; stability is preserved
     bit_positions = _norm_bits(bits, keys, 0)  # "auto" reduces over the GLOBAL array
@@ -825,13 +863,13 @@ def distributed_radix_sort_u64_parts(
     *,
     axis_name: str = "shards",
     capacity_factor: float = 2.0,
-    recv_capacity_factor: float = 1.1,
+    recv_capacity_factor: float = 1.05,
     num_samples: int = 4096,
     backend: str | None = None,
-    exchange: str = "padded",
+    exchange: str = "auto",
     max_retries: int = 3,
     descending: bool = False,
-    pipeline_chunks: int = 1,
+    pipeline_chunks="auto",
     bits=None,
 ):
     """Globally sort sharded 64-bit keys given as (hi, lo) u32 halves, with
@@ -862,13 +900,8 @@ def distributed_radix_sort_u64_parts(
         num_devices,
     )
     local_n = keys_hi.shape[0] // num_devices
-    chunks = int(pipeline_chunks)
-    check_argument(chunks >= 1, "pipeline_chunks must be >= 1")
-    check_argument(
-        local_n % chunks == 0,
-        "local shard length %d not divisible by pipeline_chunks=%d",
-        local_n, chunks,
-    )
+    chunks = _resolve_chunks(pipeline_chunks, num_devices, local_n)
+    exchange = _resolve_exchange(exchange, mesh, num_devices)
     if descending:
         keys_hi, keys_lo = ~keys_hi, ~keys_lo  # complementing both words reverses u64 order
     check_argument(bits in (None, "auto"), 'distributed u64 sorts accept only bits=None or "auto"')

@@ -416,3 +416,38 @@ def test_dist_sort_pipeline_chunks_bad_divisibility():
     v = jnp.zeros(8 * 100, jnp.uint32)
     with pytest.raises(GluArgumentError):
         distributed_radix_sort(k, v, mesh, pipeline_chunks=3)
+
+
+def test_default_resolvers():
+    """Round-5 shipped defaults: exchange="auto" takes ragged on TPU meshes
+    with D >= 2 and padded elsewhere; pipeline_chunks="auto" takes 2 on
+    D >= 2 when the shard divides (the scaling model's >= 0.80 config,
+    SCALING_MODEL_r05.json)."""
+    from glu_tpu.parallel.dist_sort import _resolve_chunks, _resolve_exchange
+
+    mesh_cpu = make_sort_mesh(jax.devices()[:2])
+    assert _resolve_exchange("auto", mesh_cpu, 2) == "padded"  # CPU mesh
+    assert _resolve_exchange("auto", mesh_cpu, 1) == "padded"
+    assert _resolve_exchange("padded", mesh_cpu, 2) == "padded"
+    assert _resolve_exchange("ragged", mesh_cpu, 2) == "ragged"
+    with pytest.raises(GluArgumentError):
+        _resolve_exchange("bogus", mesh_cpu, 2)
+
+    class _Dev:
+        platform = "tpu"
+        device_kind = "TPU v5 lite"
+
+    class _TpuMesh:
+        devices = np.array([_Dev(), _Dev()])
+
+    assert _resolve_exchange("auto", _TpuMesh(), 2) == "ragged"
+    assert _resolve_exchange("auto", _TpuMesh(), 1) == "padded"
+
+    assert _resolve_chunks("auto", 2, 4096) == 2
+    assert _resolve_chunks("auto", 1, 4096) == 1   # d=1: exact fast path
+    assert _resolve_chunks("auto", 8, 4097) == 1   # not divisible
+    assert _resolve_chunks(4, 8, 4096) == 4
+    with pytest.raises(GluArgumentError):
+        _resolve_chunks(3, 8, 4096)
+    with pytest.raises(GluArgumentError):
+        _resolve_chunks(0, 8, 4096)
