@@ -83,11 +83,12 @@ _READ_ROWS = CH_ROWS + 8       # read-size cap (sublane-aligned, covers CH+1 row
 _FUSE_MAX_R = 512              # largest single block the fused whole-sort kernel handles
 
 
-def _chunk_rows(r: int) -> tuple[int, int]:
+def _chunk_rows(r: int, fields: int = FIELDS) -> tuple[int, int]:
     """(chunk rows, DMA read rows) for block height r: sized to one typical
-    run, capped by the module constants (which shrunken-geometry tests
-    monkeypatch to force the multi-chunk serial path at tiny n)."""
-    ch = min(CH_ROWS, r // 16 + 8)
+    run (r/fields rows), capped by the module constants (which
+    shrunken-geometry tests monkeypatch to force the multi-chunk serial
+    path at tiny n)."""
+    ch = min(CH_ROWS, r // fields + 8)
     return ch, min(_READ_ROWS, ch + 8)
 
 
@@ -294,7 +295,7 @@ def _group_pass(pos_arr, keys2d, values2d, R, interpret, num_blocks=None, nbits=
         interpret=interpret,
         compiler_params=params,
     )(pos_arr, keys2d, *values2d)
-    return outs[0], list(outs[1 : 1 + ns]), outs[1 + ns][:, 0, :FIELDS]
+    return outs[0], list(outs[1 : 1 + ns]), outs[1 + ns][:, 0, : 1 << nbits]
 
 
 def _splice_kernel_factory(ns: int, ch: int, rd: int):
@@ -610,11 +611,11 @@ def _run_descriptors(counts, R):
 _DESC_SMEM_BUDGET = 768 * 1024
 
 
-def _desc_bytes(rows: int, r: int) -> int:
-    return -(-rows // r) * FIELDS * 3 * 4
+def _desc_bytes(rows: int, r: int, fields: int = FIELDS) -> int:
+    return -(-rows // r) * fields * 3 * 4
 
 
-def _choose_block_rows(n: int) -> int:
+def _choose_block_rows(n: int, fields: int = FIELDS) -> int:
     """Pick the block height: smallest power-of-two row count whose block
     covers n, capped at BLOCK_R (VMEM budget) for mid sizes.
 
@@ -629,14 +630,22 @@ def _choose_block_rows(n: int) -> int:
     r = 8
     while r < rows and r < BLOCK_R:
         r *= 2
+    if fields > FIELDS and rows > r:
+        # wide-field pass (the 5-7-bit single-splice partition): taller
+        # blocks keep the typical run (r/fields rows) long enough that the
+        # splicer's fixed per-run chunk traffic stays a small multiple of
+        # the useful bytes (32-row runs => (ch+rd)/run ~ 2.75x)
+        while r < min(32 * fields, 4 * BLOCK_R) and r < rows:
+            r *= 2
     if (
         r == BLOCK_R
         and rows > BLOCK_R  # single-block inputs keep the identity-splice path
         and BLOCK_R > 512
-        and _desc_bytes(rows, 512) <= _DESC_SMEM_BUDGET
+        and fields <= FIELDS
+        and _desc_bytes(rows, 512, fields) <= _DESC_SMEM_BUDGET
     ):
         return 512
-    while _desc_bytes(rows, r) > _DESC_SMEM_BUDGET:
+    while _desc_bytes(rows, r, fields) > _DESC_SMEM_BUDGET:
         r *= 2
     return r
 
@@ -710,16 +719,25 @@ def pallas_radix_sort_streams(keys: jax.Array, payloads, num_steps: int, bit_pos
         positions = tuple(int(b) for b in bit_positions)
     if not positions:
         return keys, payloads  # zero sort bits: the identity permutation
-    groups = [positions[i : i + FIELD_BITS] for i in range(0, len(positions), FIELD_BITS)]
-    R = _choose_block_rows(n)
+    if FIELD_BITS < len(positions) <= 7:
+        # wide-field single pass: 5-7 sort bits (the distributed bucket
+        # partition at 16 < D <= 128, and 5-7-bit adaptive sorts) group in
+        # ONE pass of up to 128 bins — same split count, but ONE splice
+        # instead of two (measured: the D=64 partition drops 1.13 -> ~0.9
+        # ns/key; see proto/partition_lab.py)
+        groups = [positions]
+    else:
+        groups = [positions[i : i + FIELD_BITS] for i in range(0, len(positions), FIELD_BITS)]
+    fields = 1 << max(len(g) for g in groups)
+    R = _choose_block_rows(n, fields)
     S = R * LANES
     padded = -(-n // S) * S
     num_blocks = padded // S
     total_rows = padded // LANES
     vlog(
-        "radix_sort n=%d: R=%d blocks=%d streams=%d passes=%d splice_runs/pass=%d",
-        n, R, num_blocks, ns, len(groups),
-        num_blocks * FIELDS if num_blocks > 1 else 0,
+        "radix_sort n=%d: R=%d blocks=%d streams=%d passes=%d fields=%d splice_runs/pass=%d",
+        n, R, num_blocks, ns, len(groups), fields,
+        num_blocks * fields if num_blocks > 1 else 0,
     )
 
     kp = jnp.pad(keys, (0, padded - n), constant_values=jnp.uint32(0xFFFFFFFF))
@@ -745,7 +763,7 @@ def pallas_radix_sort_streams(keys: jax.Array, payloads, num_steps: int, bit_pos
     # (re-padding each pass would copy the full arrays 2x per pass); the
     # slack region holds garbage and is excluded from the group grid and
     # from the final slice.
-    ch, rd = _chunk_rows(R)
+    ch, rd = _chunk_rows(R, fields)
     slack = _slack_rows(ch, rd)
     rows_slacked = total_rows + slack
     k2 = jnp.pad(k2, ((0, slack), (0, 0)))

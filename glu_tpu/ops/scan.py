@@ -42,6 +42,17 @@ from .reduce import ReduceOperator, combine_fn, identity_for
 
 @partial(jax.jit, static_argnames=("num_partitions", "op", "backend"))
 def _scan_impl(x: jax.Array, num_partitions: int, op: ReduceOperator, backend: str) -> jax.Array:
+    if x.ndim == 2:
+        # vector dtypes: per-component scan over the trailing axis, vmapped
+        # exactly as pallas_reduce vmaps components (_pallas_reduce.py:143-150)
+        # — parity with the reference ctor accepting any DataType
+        # (BlellochScan.hpp:96-102)
+        per_comp = jax.vmap(lambda col: _scan_flat(col, num_partitions, op, backend))(x.T)
+        return per_comp.T
+    return _scan_flat(x, num_partitions, op, backend)
+
+
+def _scan_flat(x: jax.Array, num_partitions: int, op: ReduceOperator, backend: str) -> jax.Array:
     if backend == "pallas":
         from ._pallas_scan import pallas_exclusive_scan
 
@@ -66,7 +77,11 @@ def _scan_impl(x: jax.Array, num_partitions: int, op: ReduceOperator, backend: s
 
 
 def _check_scan_args(x: jax.Array, num_partitions: int, op) -> None:
-    check_argument(x.ndim == 1, "scan expects a 1-D array, got shape %s", x.shape)
+    check_argument(
+        x.ndim in (1, 2),
+        "scan expects (N,) or (N, C) input (vector dtypes scan per component), got shape %s",
+        x.shape,
+    )
     check_argument(num_partitions >= 1, "num_partitions must be >= 1")
     check_argument(
         x.shape[0] % num_partitions == 0,
@@ -87,6 +102,7 @@ def _segmented_scan_offsets(x, offsets, op, backend, inclusive: bool):
     (mod-2^w subtraction inverts mod-2^w addition), which is why the op is
     restricted to integer SUM — the reference's scan is hardcoded to uint
     `+` anyway (BlellochScan.hpp:99-100)."""
+    check_argument(x.ndim == 1, "offsets= expects a 1-D array, got shape %s", x.shape)
     check_argument(
         op == ReduceOperator.SUM, "offsets= supports op=SUM (exact inverse needed)"
     )
@@ -123,8 +139,11 @@ def exclusive_scan(
     `num_partitions` adjacent equal-length partitions. Returns a new array
     (not in-place).
 
-    x: (N,) with N divisible by num_partitions. Any partition length >= 1
-    (power-of-2 NOT required — the reference's restriction is lifted).
+    x: (N,) scalar stream or (N, C) vector stream (per-component scan, the
+    trailing-axis layout of the vec2/vec4 DataTypes — parity with the
+    reference ctor accepting any DataType, BlellochScan.hpp:96-102), with N
+    divisible by num_partitions. Any partition length >= 1 (power-of-2 NOT
+    required — the reference's restriction is lifted).
 
     offsets (extension): S+1 nondecreasing segment boundaries (CUB
     begin/end style; empty segments allowed) scan each VARIABLE-length
@@ -172,14 +191,13 @@ class BlellochScan:
     the scanned array. Enforces the reference's power-of-2 `count` check
     (BlellochScan.hpp:134). The optional `operator` (default SUM, the
     reference's hardcoded op) extends the class form to mul/min/max.
+    Vector DataTypes (VEC2/VEC4 etc.) take (N, C) trailing-component
+    buffers and scan per component — the reference ctor accepts any
+    DataType (BlellochScan.hpp:96-102).
     """
 
     def __init__(self, data_type: DataType, operator: ReduceOperator = ReduceOperator.SUM):
         self.info = check_dtype_supported(data_type)
-        check_argument(
-            self.info.components == 1,
-            "BlellochScan supports scalar types (the reference only exercises uint)",
-        )
         check_argument(isinstance(operator, ReduceOperator), "Invalid operator: %s", operator)
         self.data_type = data_type
         self.operator = operator
@@ -195,6 +213,12 @@ class BlellochScan:
         data = buffer.data if isinstance(buffer, DeviceBuffer) else buffer
         check_argument(count >= 1, "Count must be >= 1")
         check_argument(is_power_of_2(count), "Count must be a power of 2 (got %d)", count)
+        if self.info.components > 1:
+            check_argument(
+                data.ndim == 2 and data.shape[1] == self.info.components,
+                "%s buffers carry components in the trailing axis (N, %d), got shape %s",
+                self.info.name, self.info.components, data.shape,
+            )
         total = count * num_partitions
         check_argument(
             total <= data.shape[0], "count*num_partitions %d exceeds buffer size %d", total, data.shape[0]

@@ -251,3 +251,84 @@ def test_scan_segmented_offsets_contract(backend):
         ex(x, backend=backend, offsets=jnp.array([1, 10], jnp.int32))
     with pytest.raises(GluArgumentError):  # combined with partitions
         ex(x, 2, backend=backend, offsets=jnp.array([0, 10], jnp.int32))
+
+
+@pytest.mark.parametrize(
+    "data_type",
+    [
+        DataType.FLOAT, DataType.DOUBLE, DataType.INT, DataType.UINT,
+        DataType.VEC2, DataType.VEC4, DataType.DVEC2, DataType.DVEC4,
+        DataType.UVEC2, DataType.UVEC4, DataType.IVEC2, DataType.IVEC4,
+    ],
+)
+@pytest.mark.parametrize(
+    "op",
+    [ReduceOperator.SUM, ReduceOperator.MUL, ReduceOperator.MIN, ReduceOperator.MAX],
+)
+def test_scan_all_types(data_type, op, backend, seeded_rng):
+    """Round-5 scan dtype battery, mirroring test_reduce_all_types: every
+    (DataType, op) pair through exclusive_scan, vectors per component
+    (reference BlellochScan ctor accepts any DataType,
+    BlellochScan.hpp:96-102; this build actually exercises them)."""
+    from glu_tpu import dtype_info
+
+    info = dtype_info(data_type)
+    rng = seeded_rng(9)
+    n = 64
+    shape = (n,) + info.element_shape()
+    if jnp.issubdtype(info.dtype, jnp.floating):
+        host = rng.rng.uniform(0.5, 1.5, size=shape)
+    elif info.dtype == jnp.int32:
+        host = rng.rng.integers(-3, 4, size=shape)
+    else:
+        host = rng.rng.integers(1, 3, size=shape)
+    host = host.astype(np.dtype(info.dtype.name))
+    got = np.asarray(exclusive_scan(jnp.asarray(host), 2, op, backend=backend))
+    # numpy oracle: per-partition, per-component exclusive scan
+    acc = {
+        ReduceOperator.SUM: np.add, ReduceOperator.MUL: np.multiply,
+        ReduceOperator.MIN: np.minimum, ReduceOperator.MAX: np.maximum,
+    }[op]
+    ident = identity_for(op, info.dtype)
+    want = np.empty_like(host)
+    part = n // 2
+    for p in range(2):
+        run = np.full(shape[1:], ident, dtype=host.dtype)
+        for i in range(part):
+            want[p * part + i] = run
+            run = acc(run, host[p * part + i])
+    if jnp.issubdtype(info.dtype, jnp.floating):
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+    else:
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("data_type", [DataType.UVEC2, DataType.VEC4])
+def test_blelloch_scan_class_vector(data_type, backend, seeded_rng):
+    from glu_tpu import dtype_info
+
+    info = dtype_info(data_type)
+    rng = seeded_rng(11)
+    n = 32
+    host = rng.rng.integers(0, 9, size=(n, info.components)).astype(
+        np.dtype(info.dtype.name)
+    )
+    scan = BlellochScan(data_type)
+    got = np.asarray(scan(jnp.asarray(host), n, backend=backend))
+    want = np.cumsum(host, axis=0, dtype=host.dtype) - host
+    np.testing.assert_array_equal(got, want)
+    # wrong trailing shape rejected
+    with pytest.raises(GluArgumentError):
+        scan(jnp.asarray(host[:, :1]), n, backend=backend)
+
+
+def test_scan_inclusive_vector(backend, seeded_rng):
+    rng = seeded_rng(12)
+    host = rng.rng.integers(0, 9, size=(24, 4)).astype(np.uint32)
+    got = np.asarray(inclusive_scan(jnp.asarray(host), backend=backend))
+    np.testing.assert_array_equal(got, np.cumsum(host, axis=0, dtype=np.uint32))
+
+
+def test_scan_offsets_rejects_vector():
+    with pytest.raises(GluArgumentError):
+        exclusive_scan(jnp.ones((8, 2), jnp.uint32), offsets=jnp.array([0, 8]))

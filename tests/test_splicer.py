@@ -181,3 +181,38 @@ def test_single_maxblock_per_pass_route(tiny_engine, monkeypatch, seeded_rng):
     monkeypatch.setattr(ps, "_FUSE_MAX_R", 8)
     keys = seeded_rng(29).sample_int_vector(2000, 0, 0xFFFFFFFE)
     _check(keys)
+
+
+@pytest.mark.parametrize("nbits", [5, 6, 7])
+def test_multiblock_wide_field_single_pass(nbits, tiny_engine, seeded_rng):
+    """Round-5 wide-field path: 5-7 sort bits group in ONE pass of up to
+    2**7 bins with ONE splice (the 16 < D <= 128 distributed bucket
+    partition). Shrunken geometry forces the multi-block splice with
+    fields > 16 descriptors — short runs, many empty bins, carry rows."""
+    size = 6000
+    keys = seeded_rng(400 + nbits).sample_int_vector(size, 0, (1 << nbits) - 1)
+    vals = np.arange(size, dtype=np.uint32)
+    out_k, out_v = radix_sort(
+        jnp.asarray(keys), jnp.asarray(vals), backend="pallas",
+        bits=tuple(range(nbits)),
+    )
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(out_k), keys[order])
+    np.testing.assert_array_equal(np.asarray(out_v), order.astype(np.uint32))
+
+
+def test_multiblock_wide_field_multi_stream(tiny_engine, seeded_rng):
+    """Wide-field partition shape: 6-bit bucket ids carrying two payload
+    streams (the distributed layer's (keys, values) partition)."""
+    size = 5000
+    b = seeded_rng(77).sample_int_vector(size, 0, 63)
+    k = seeded_rng(78).sample_int_vector(size, 0, 0xFFFFFFFE)
+    v = np.arange(size, dtype=np.uint32)
+    sb, (ok, ov) = radix_sort_multi(
+        jnp.asarray(b), (jnp.asarray(k), jnp.asarray(v)), backend="pallas",
+        bits=tuple(range(6)),
+    )
+    order = np.argsort(b, kind="stable")
+    np.testing.assert_array_equal(np.asarray(sb), b[order])
+    np.testing.assert_array_equal(np.asarray(ok), k[order])
+    np.testing.assert_array_equal(np.asarray(ov), order.astype(np.uint32))
