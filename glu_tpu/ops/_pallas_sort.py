@@ -719,12 +719,15 @@ def pallas_radix_sort_streams(keys: jax.Array, payloads, num_steps: int, bit_pos
         positions = tuple(int(b) for b in bit_positions)
     if not positions:
         return keys, payloads  # zero sort bits: the identity permutation
-    if FIELD_BITS < len(positions) <= 7:
-        # wide-field single pass: 5-7 sort bits (the distributed bucket
-        # partition at 16 < D <= 128, and 5-7-bit adaptive sorts) group in
-        # ONE pass of up to 128 bins — same split count, but ONE splice
-        # instead of two (measured: the D=64 partition drops 1.13 -> ~0.9
-        # ns/key; see proto/partition_lab.py)
+    if FIELD_BITS < len(positions) <= 6:
+        # wide-field single pass: 5-6 sort bits (the distributed bucket
+        # partition at 16 < D <= 64, and 5-6-bit adaptive sorts) group in
+        # ONE pass of up to 64 bins — same split count, but ONE splice
+        # instead of two (measured at 67M, 3 streams: D=32 partition
+        # 1.398 -> 0.981 ns/key, D=64 1.392 -> 1.161;
+        # proto/partition_lab.py). Capped at 6: the 128-bin counts row
+        # (2**7 sequential bin reductions) compiles/runs pathologically —
+        # 7+ bits take the standard 4-bit passes
         groups = [positions]
     else:
         groups = [positions[i : i + FIELD_BITS] for i in range(0, len(positions), FIELD_BITS)]

@@ -204,8 +204,8 @@ def _partition_by_bucket(bucket, arrays, num_devices: int, backend):
     if num_devices == 1:
         return arrays, jnp.full((1,), n, jnp.int32), jnp.zeros((1,), jnp.int32)
     # sort by EXACTLY the bucket-id bits: ceil(log2 D) bit-splits instead of
-    # 4*ceil(bits/4) (D=2: one split, 0.35 vs 0.75 ns/key measured), and for
-    # 16 < D <= 128 the engine's wide-field path groups them in ONE pass /
+    # 4*ceil(bits/4) (D=2: one split, 0.31 vs 0.75 ns/key measured), and for
+    # 16 < D <= 64 the engine's wide-field path groups them in ONE pass /
     # one splice (proto/partition_lab.py)
     nbits = max(int(num_devices - 1).bit_length(), 1)
     sb, outs = radix_sort_multi(

@@ -185,10 +185,11 @@ def test_single_maxblock_per_pass_route(tiny_engine, monkeypatch, seeded_rng):
 
 @pytest.mark.parametrize("nbits", [5, 6, 7])
 def test_multiblock_wide_field_single_pass(nbits, tiny_engine, seeded_rng):
-    """Round-5 wide-field path: 5-7 sort bits group in ONE pass of up to
-    2**7 bins with ONE splice (the 16 < D <= 128 distributed bucket
-    partition). Shrunken geometry forces the multi-block splice with
-    fields > 16 descriptors — short runs, many empty bins, carry rows."""
+    """Round-5 wide-field path: 5-6 sort bits group in ONE pass of up to
+    64 bins with ONE splice (the 16 < D <= 64 distributed bucket
+    partition); 7 bits covers the capped fall-back to 4-bit passes.
+    Shrunken geometry forces the multi-block splice with fields > 16
+    descriptors — short runs, many empty bins, carry rows."""
     size = 6000
     keys = seeded_rng(400 + nbits).sample_int_vector(size, 0, (1 << nbits) - 1)
     vals = np.arange(size, dtype=np.uint32)
