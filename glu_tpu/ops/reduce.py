@@ -143,35 +143,40 @@ def segmented_reduce(
 ) -> jax.Array:
     """Per-segment reduction over VARIABLE-length adjacent segments (CUB
     DeviceSegmentedReduce-style begin/end `offsets`: S+1 nondecreasing
-    boundaries, empty segments allowed and reduce to 0). Returns an (S,)
-    array of segment sums — an extension beyond the reference (whose reduce
-    is whole-array only, Reduce.hpp:121-134).
+    boundaries, empty segments allowed and reduce to the operator identity —
+    0 for SUM, 1 for MUL, +/-inf or the integer extremes for MIN/MAX).
+    Returns an (S,) array of segment reductions — an extension beyond the
+    reference (whose reduce is whole-array only, Reduce.hpp:121-134).
 
-    Integer SUM only: segment sums are boundary differences of ONE global
+    Integer SUM: segment sums are boundary differences of ONE global
     inclusive scan (exact in the wrapping mod-2^w ring), costing a single
     scan pass + an (S+1)-sized gather — no per-element gathers and no
-    per-segment dispatches.
+    per-segment dispatches. Every other (op, dtype) — min/max/mul and
+    float sums — rides the flagged-combine segmented scan (scan.py::
+    _flagged_scan, exact for non-invertible operators) and picks each
+    segment's last inclusive value (an S-sized gather).
     """
-    check_argument(
-        op == ReduceOperator.SUM, "segmented_reduce supports op=SUM (exact differences needed)"
-    )
+    check_argument(isinstance(op, ReduceOperator), "Invalid operator: %s", op)
     check_argument(x.ndim == 1, "segmented_reduce expects a 1-D array, got shape %s", x.shape)
-    check_argument(
-        jnp.issubdtype(x.dtype, jnp.integer),
-        "segmented_reduce requires an integer dtype (exact wraparound ring), got %s",
-        x.dtype,
-    )
     from ._segments import validate_offsets
 
     n = x.shape[0]
     offs, num_segments = validate_offsets(offsets, n)
+    ident = identity_for(op, x.dtype)
     if n == 0:
-        return jnp.zeros((num_segments,), x.dtype)
+        return jnp.full((num_segments,), ident, x.dtype)
+    oi = offs.astype(jnp.int32)
+    if op != ReduceOperator.SUM or not jnp.issubdtype(x.dtype, jnp.integer):
+        from .scan import _flagged_scan, _segment_start_flags
+
+        flags = _segment_start_flags(offs, n)
+        incl = _flagged_scan(x, flags, op, inclusive=True)
+        ends = jnp.maximum(oi[1:] - 1, 0)
+        return jnp.where(oi[1:] > oi[:-1], incl[ends], jnp.full((), ident, x.dtype))
     from .scan import inclusive_scan
 
     incl = inclusive_scan(x, op=op, backend=backend)
     # prefix value BEFORE each boundary: 0 at boundary 0, incl[o-1] else
-    oi = offs.astype(jnp.int32)
     pref = jnp.where(oi > 0, incl[jnp.maximum(oi - 1, 0)], jnp.zeros((), x.dtype))
     return pref[1:] - pref[:-1]
 

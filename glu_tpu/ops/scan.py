@@ -92,31 +92,63 @@ def _check_scan_args(x: jax.Array, num_partitions: int, op) -> None:
     check_argument(isinstance(op, ReduceOperator), "Invalid operator: %s", op)
 
 
+def _segment_start_flags(offs, n):
+    """Bool start-of-segment flags from validated offsets: scatter one mark
+    per interior boundary (duplicates accumulate — empty segments collapse
+    to the same start; a mark COUNT > 0 is still just a start). Element 0
+    always starts a segment."""
+    marks = jnp.zeros(n, jnp.int32).at[offs[1:-1]].add(1, mode="drop")
+    return (marks > 0).at[0].set(True)
+
+
+def _flagged_scan(x, flags, op, inclusive: bool):
+    """Ragged scan under ANY operator via the classic segmented-scan lift
+    (Blelloch 1990): `op` on (start_flag, value) pairs —
+    (af,av) . (bf,bv) = (af|bf, bv if bf else op(av,bv)) — is associative,
+    so one `jax.lax.associative_scan` realizes every segment's inclusive
+    scan in log-depth combine passes. The exclusive form shifts one slot
+    right and seeds segment starts with the identity. O(n log n) work —
+    the price of non-invertible operators; the integer-SUM path below stays
+    the O(n) subtract composition."""
+    comb = combine_fn(op)
+
+    def fc(a, b):
+        af, av = a
+        bf, bv = b
+        return (af | bf, jnp.where(bf, bv, comb(av, bv)))
+
+    _, incl = jax.lax.associative_scan(fc, (flags, x))
+    if inclusive:
+        return incl
+    ident = jnp.full((1,), identity_for(op, x.dtype), x.dtype)
+    shifted = jnp.concatenate([ident, incl[:-1]])
+    return jnp.where(flags, ident[0], shifted)
+
+
 def _segmented_scan_offsets(x, offsets, op, backend, inclusive: bool):
-    """Ragged segmented scan (offsets form, SUM only): one GLOBAL scan, then
-    subtract each element's segment-base prefix. The base step function is
-    built without per-element gathers (XLA:TPU gathers are element-at-a-
-    time): gather the S segment-start prefix values (an S-sized gather —
-    tiny), difference them, scatter the increments at the boundaries, and
-    cumsum back into a step function. Exact in the wrapping integer ring
-    (mod-2^w subtraction inverts mod-2^w addition), which is why the op is
-    restricted to integer SUM — the reference's scan is hardcoded to uint
-    `+` anyway (BlellochScan.hpp:99-100)."""
+    """Ragged segmented scan (offsets form). Integer SUM takes the O(n)
+    fast path: one GLOBAL scan, then subtract each element's segment-base
+    prefix — built without per-element gathers (XLA:TPU gathers are
+    element-at-a-time): gather the S segment-start prefix values (an
+    S-sized gather — tiny), difference them, scatter the increments at the
+    boundaries, and cumsum back into a step function. Exact in the wrapping
+    integer ring (mod-2^w subtraction inverts mod-2^w addition).
+
+    Every other (op, dtype) — min/max/mul, and float sums — takes the
+    flagged-combine path (_flagged_scan): exact for all of them (no inverse
+    needed), generalizing the reference's hardcoded uint `+`
+    (BlellochScan.hpp:99-100) to the full operator set."""
     check_argument(x.ndim == 1, "offsets= expects a 1-D array, got shape %s", x.shape)
-    check_argument(
-        op == ReduceOperator.SUM, "offsets= supports op=SUM (exact inverse needed)"
-    )
-    check_argument(
-        jnp.issubdtype(x.dtype, jnp.integer),
-        "offsets= requires an integer dtype (exact wraparound ring), got %s",
-        x.dtype,
-    )
+    check_argument(isinstance(op, ReduceOperator), "Invalid operator: %s", op)
     from ._segments import validate_offsets
 
     n = x.shape[0]
     offs, _ = validate_offsets(offsets, n)
     if n == 0:
         return x
+    if op != ReduceOperator.SUM or not jnp.issubdtype(x.dtype, jnp.integer):
+        flags = _segment_start_flags(offs, n)
+        return _flagged_scan(x, flags, op, inclusive)
     b = _scan_impl(x, 1, op, resolve_backend(backend))  # global exclusive
     starts = jnp.minimum(offs[:-1].astype(jnp.int32), n - 1)
     vals = b[starts]  # (S,) scalars — a tiny gather
@@ -148,8 +180,10 @@ def exclusive_scan(
     offsets (extension): S+1 nondecreasing segment boundaries (CUB
     begin/end style; empty segments allowed) scan each VARIABLE-length
     segment independently — the ragged generalization of the reference's
-    equal-partition batching (BlellochScan.hpp:125-138). Integer SUM only
-    (one global scan + an exact mod-2^w segment-base subtraction); mutually
+    equal-partition batching (BlellochScan.hpp:125-138). All four
+    operators: integer SUM takes an O(n) global-scan + exact mod-2^w
+    segment-base subtraction; min/max/mul and float sums take the classic
+    flagged-combine segmented scan (exact, O(n log n)). 1-D only; mutually
     exclusive with num_partitions > 1.
     """
     _check_scan_args(x, num_partitions, op)

@@ -240,17 +240,65 @@ def test_scan_segmented_offsets_fuzz(trial, backend, seeded_rng):
 
 def test_scan_segmented_offsets_contract(backend):
     from glu_tpu import exclusive_scan as ex
-    from glu_tpu.ops.reduce import ReduceOperator
 
     x = jnp.arange(10, dtype=jnp.uint32)
-    with pytest.raises(GluArgumentError):  # non-SUM op
-        ex(x, op=ReduceOperator.MAX, backend=backend, offsets=jnp.array([0, 10], jnp.int32))
-    with pytest.raises(GluArgumentError):  # float dtype
-        ex(jnp.ones(10, jnp.float32), backend=backend, offsets=jnp.array([0, 10], jnp.int32))
     with pytest.raises(GluArgumentError):  # bad boundary
         ex(x, backend=backend, offsets=jnp.array([1, 10], jnp.int32))
     with pytest.raises(GluArgumentError):  # combined with partitions
         ex(x, 2, backend=backend, offsets=jnp.array([0, 10], jnp.int32))
+    with pytest.raises(GluArgumentError):  # vector input
+        ex(jnp.ones((8, 2), jnp.uint32), backend=backend, offsets=jnp.array([0, 8], jnp.int32))
+
+
+_RAGGED_OPS = [
+    (ReduceOperator.SUM, np.add),
+    (ReduceOperator.MUL, np.multiply),
+    (ReduceOperator.MIN, np.minimum),
+    (ReduceOperator.MAX, np.maximum),
+]
+
+
+def _ragged_oracle(data, offs, acc, ident, inclusive):
+    want = np.empty_like(data)
+    for s in range(len(offs) - 1):
+        run = np.array(ident, dtype=data.dtype)
+        for i in range(offs[s], offs[s + 1]):
+            if not inclusive:
+                want[i] = run
+            run = acc(run, data[i])
+            if inclusive:
+                want[i] = run
+    return want
+
+
+@pytest.mark.parametrize("op,acc", _RAGGED_OPS)
+@pytest.mark.parametrize("dtype", [np.uint32, np.int32, np.float32])
+@pytest.mark.parametrize("inclusive", [False, True])
+def test_scan_segmented_offsets_all_ops(op, acc, dtype, inclusive, backend, seeded_rng):
+    """Round-5: ragged (offsets=) scans under ALL FOUR operators and float
+    dtypes — min/max/mul ride the flagged-combine segmented scan, integer
+    SUM the O(n) subtract composition (VERDICT r4 #5). Fuzzed vs a python
+    oracle including empty segments."""
+    from glu_tpu import exclusive_scan, inclusive_scan
+    from glu_tpu.ops.reduce import identity_for as ident_for
+
+    rng = seeded_rng(500 + op.value)
+    n = 300
+    if np.issubdtype(dtype, np.floating):
+        data = rng.rng.uniform(0.5, 1.5, size=n).astype(dtype)
+    elif dtype == np.int32:
+        data = rng.rng.integers(-3, 4, size=n).astype(dtype)
+    else:
+        data = rng.rng.integers(1, 3, size=n).astype(dtype)
+    cuts = np.sort(rng.rng.integers(0, n + 1, size=7))
+    offs = np.concatenate([[0], cuts, [n]]).astype(np.int32)  # incl. empties
+    fn = inclusive_scan if inclusive else exclusive_scan
+    got = np.asarray(fn(jnp.asarray(data), op=op, backend=backend, offsets=jnp.asarray(offs)))
+    want = _ragged_oracle(data, offs, acc, ident_for(op, dtype), inclusive)
+    if np.issubdtype(dtype, np.floating):
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+    else:
+        np.testing.assert_array_equal(got, want)
 
 
 @pytest.mark.parametrize(
