@@ -16,6 +16,7 @@ prepare_internal_buffers pre-warming, radix_sort_tests.cpp:187).
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -187,6 +188,100 @@ def bench_u64(n, backend, reps=3):
             }
         )
     )
+
+
+def calibrate_router(out_path=None, quick=False):
+    """Measure the router's cost-model points on the CURRENT chip and write
+    the calibration file (ops/radix_sort.py::_router_model loads it,
+    preferring it to the baked v5e table). The analog of the reference
+    re-specializing shaders per device at construction (Reduce.hpp:68-99):
+    a cost model IS our specialization, so it must be per-device.
+
+    Measures: 2-operand jax.lax.sort ns/key over a log2(n) ladder (+ 1/3-
+    operand scaling at the largest size), and the engine's per-pass rates
+    at 0/1/2 payload streams (8-pass and 1-pass points solving the fixed/
+    per-pass split). Chained timing throughout (the tunnel fence swamps
+    single calls)."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    # the module is shadowed by the re-exported function of the same name
+    rs = importlib.import_module("glu_tpu.ops.radix_sort")
+
+    lgs = [14, 17, 20, 24] + ([26] if quick else [26, 27, 28])
+    table = []
+    for lg in lgs:
+        n = 1 << lg
+        x = _rand_u32(n, 21)
+        v = jnp.arange(n, dtype=jnp.uint32)
+        it = _ladder_iters(n, 2**28 if quick else 2**30, lo=4)
+        t = _chain_time(
+            lambda s_: jax.lax.sort((s_[0], s_[1]), num_keys=1, is_stable=True),
+            (x, v), it,
+        )
+        table.append([lg, round(t / n * 1e9, 3)])
+        print(f"  lax 2-op 2^{lg}: {t / n * 1e9:.3f} ns/key", flush=True)
+    slope = max(table[-1][1] - table[-2][1], 0.01) / (lgs[-1] - lgs[-2])
+    # operand scaling at the largest ladder size
+    nb = 1 << lgs[-1]
+    xb = _rand_u32(nb, 22)
+    vb = jnp.arange(nb, dtype=jnp.uint32)
+    itb = _ladder_iters(nb, 2**28 if quick else 2**30, lo=4)
+    t2 = table[-1][1]
+    t1 = _chain_time(
+        lambda s_: jax.lax.sort((s_,), num_keys=1, is_stable=True)[0], xb, itb
+    ) / nb * 1e9
+    t3 = _chain_time(
+        lambda s_: jax.lax.sort((s_[0], s_[1], s_[1]), num_keys=1, is_stable=True),
+        (xb, vb), itb,
+    ) / nb * 1e9
+    a = t1 / t2
+    b = (t3 / t2 - a) / 2
+    print(f"  lax operand scale: 1-op {t1:.3f} 2-op {t2:.3f} 3-op {t3:.3f}", flush=True)
+
+    # engine rates at the largest ladder size: 8-pass + 1-pass kv solve
+    # (base, per_pass); keys-only / 2-stream reuse the same base
+    def eng(streams, passes):
+        def f(s_):
+            k = s_[0]
+            ps = tuple(s_[1] for _ in range(streams))
+            ok, ovs = rs._radix_sort_streams(
+                jnp.copy(k), tuple(jnp.copy(p) for p in ps), passes, "pallas"
+            )
+            return (ok,) + tuple(ovs) if ovs else (ok, s_[1])
+        return _chain_time(f, (xb, vb), max(itb // 2, 2)) / nb * 1e9
+
+    kv8 = eng(1, 8)
+    kv1 = eng(1, 1)
+    base = max(kv1 - (kv8 - kv1) / 7, 0.05)
+    pp1 = (kv8 - base) / 8
+    pp0 = max((eng(0, 8) - base) / 8, 0.05)
+    pp2 = max((eng(2, 8) - base) / 8, 0.05)
+    print(f"  engine base {base:.3f} ns/key; per-pass 0/1/2-stream "
+          f"{pp0:.3f}/{pp1:.3f}/{pp2:.3f}", flush=True)
+
+    model = {
+        "device": jax.devices()[0].device_kind,
+        "lax_ns_per_key": table,
+        "lax_slope": round(slope, 4),
+        "lax_fixed_us": 4.0,
+        "lax_op_scale": [round(a, 4), round(b, 4)],
+        "radix_fixed_us": 40.0,
+        "radix_base_ns": round(base, 4),
+        "radix_per_pass": {
+            "0": round(pp0, 4), "1": round(pp1, 4), "2": round(pp2, 4),
+        },
+        "radix_per_pass_slope": round(max(pp2 - pp1, 0.01), 4),
+    }
+    path = out_path or rs.router_calibration_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(model, f, indent=1)
+    rs._reset_router_model()
+    print(json.dumps({"metric": "router_calibration", "value": 1, "unit": "file",
+                      "path": path, "device": model["device"]}))
+    return model
 
 
 def bench_reduce(n, backend, reps=3):
@@ -557,6 +652,12 @@ def main():
     ap.add_argument("--adaptive", action="store_true",
                     help="sort with bits=\"auto\" (entropy-adaptive bit pruning; "
                          "detection cost included in the timed region)")
+    ap.add_argument("--calibrate", action="store_true",
+                    help="measure the router cost-model points on THIS chip and "
+                         "write the calibration file (see ops/radix_sort.py::"
+                         "_router_model); --quick-calibrate for a shorter ladder")
+    ap.add_argument("--quick-calibrate", action="store_true",
+                    help="--calibrate with a 2^26-capped ladder")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cpu-mesh", type=int, default=0, metavar="N",
                     help="force an N-virtual-device CPU mesh (the stand-in for "
@@ -579,6 +680,9 @@ def main():
     # passes) between the radix engine and the platform sort (measured
     # crossovers in ops/radix_sort.py); an explicit --backend forces one.
     backend = args.backend and resolve_backend(args.backend)
+    if args.calibrate or args.quick_calibrate:
+        calibrate_router(quick=args.quick_calibrate)
+        return
     if args.table:
         full_table(backend)
         return

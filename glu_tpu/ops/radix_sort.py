@@ -60,42 +60,116 @@ NUM_PASSES = 32 // RADIX_BITS  # 8 passes over u32 keys
 # models and picks per call; an explicit backend= or GLU_TPU_BACKEND wins.
 # ---------------------------------------------------------------------------
 
-# 2-operand jax.lax.sort ns/key by log2(n) (measured; interpolated in log2)
-_LAX_NS_PER_KEY = [
-    (10, 4.35), (14, 0.68), (17, 0.84), (20, 1.31),
-    (24, 2.95), (26, 3.89), (27, 4.38), (28, 4.92),
-]
-_LAX_NS_SLOPE = 0.54  # ns/key per doubling beyond the table (267->268M trend)
+# Default router model: the v5e point measurements this library shipped
+# with. `bench.py --calibrate` re-measures BOTH sides on the current chip
+# and writes a calibration file (GLU_TPU_ROUTER_CALIBRATION, default
+# ~/.cache/glu_tpu/router.json) which _router_model() prefers — the analog
+# of the reference re-specializing per device at construction
+# (Reduce.hpp:68-99); a baked table would silently misroute on v4/v6e.
+_V5E_MODEL = {
+    "device": "TPU v5e (shipped default)",
+    # 2-operand jax.lax.sort ns/key by log2(n) (interpolated in log2)
+    "lax_ns_per_key": [
+        [10, 4.35], [14, 0.68], [17, 0.84], [20, 1.31],
+        [24, 2.95], [26, 3.89], [27, 4.38], [28, 4.92],
+    ],
+    "lax_slope": 0.54,   # ns/key per doubling beyond the table
+    "lax_fixed_us": 4.0,
+    # operand scaling (measured at 67-268M: 1-op 0.71x, 3-op 1.29x of 2-op)
+    "lax_op_scale": [0.71, 0.29],
+    # engine: fixed dispatch + per-key linear in passes, per stream count
+    # (keys-only 3.93 ns/key at 8 passes -> 0.46/pass, key+value 4.81 ->
+    # 0.57, 3-stream ~6.1 -> 0.73; extrapolation 0.46 + 0.135/stream)
+    "radix_fixed_us": 40.0,
+    "radix_base_ns": 0.25,
+    "radix_per_pass": {"0": 0.46, "1": 0.57, "2": 0.73},
+    "radix_per_pass_slope": 0.135,
+}
+
+_ENV_CALIBRATION = "GLU_TPU_ROUTER_CALIBRATION"
+_model_cache: list = []  # [model_dict] once loaded
+
+
+def router_calibration_path():
+    import os
+
+    p = os.environ.get(_ENV_CALIBRATION)
+    if p:
+        return p
+    return os.path.join(
+        os.path.expanduser(os.environ.get("XDG_CACHE_HOME", "~/.cache")),
+        "glu_tpu", "router.json",
+    )
+
+
+def _router_model() -> dict:
+    """The active router cost model: the calibration file if present and
+    parsable (vlog notes the source once), else the baked v5e table (one-time
+    vlog warning — rates on other TPU generations differ; run
+    `bench.py --calibrate`)."""
+    if _model_cache:
+        return _model_cache[0]
+    import json
+    import os
+
+    from ..utils.log import vlog
+
+    path = router_calibration_path()
+    model = dict(_V5E_MODEL)
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                loaded = json.load(f)
+            model.update(loaded)
+            vlog("router: loaded calibration %s (device: %s)", path, model.get("device"))
+        except (OSError, ValueError) as e:
+            vlog("router: unreadable calibration %s (%s); using baked v5e table", path, e)
+    else:
+        vlog(
+            "router: no calibration at %s; using the baked v5e table "
+            "(run `python bench.py --calibrate` on new TPU generations)", path,
+        )
+    _model_cache.append(model)
+    return model
+
+
+def _reset_router_model():
+    """Drop the cached model (tests point GLU_TPU_ROUTER_CALIBRATION at
+    fixture files and must re-load)."""
+    _model_cache.clear()
 
 
 def _lax_sort_est_s(n: int, num_operands: int) -> float:
     """Estimated seconds for a stable num_operands-operand lax.sort of n."""
     import math
 
+    m = _router_model()
     lg = math.log2(max(n, 2))
-    pts = _LAX_NS_PER_KEY
+    pts = m["lax_ns_per_key"]
     if lg <= pts[0][0]:
         ns = pts[0][1]
     elif lg >= pts[-1][0]:
-        ns = pts[-1][1] + _LAX_NS_SLOPE * (lg - pts[-1][0])
+        ns = pts[-1][1] + m["lax_slope"] * (lg - pts[-1][0])
     else:
         for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
             if lg <= x1:
                 ns = y0 + (y1 - y0) * (lg - x0) / (x1 - x0)
                 break
-    # operand scaling (measured at 67-268M: 1-op 0.71x, 3-op 1.29x of 2-op)
-    ns *= 0.71 + 0.29 * (num_operands - 1)
-    return 4e-6 + n * ns * 1e-9
+    a, b = m["lax_op_scale"]
+    ns *= a + b * (num_operands - 1)
+    return m["lax_fixed_us"] * 1e-6 + n * ns * 1e-9
 
 
 def _radix_est_s(n: int, num_streams: int, npasses: int) -> float:
     """Estimated seconds for the Pallas engine: flat fixed dispatch cost +
     per-key cost linear in passes, with measured per-pass rates by payload
-    stream count (keys-only 3.93 ns/key at 8 passes -> 0.46/pass, key+value
-    4.81 -> 0.57, 3-stream ~6.1 -> 0.73; 1-pass adaptive 0.92 incl.
-    detection)."""
-    per_pass = {0: 0.46, 1: 0.57, 2: 0.73}.get(num_streams, 0.46 + 0.135 * num_streams)
-    return 40e-6 + n * (0.25 + npasses * per_pass) * 1e-9
+    stream count."""
+    m = _router_model()
+    pp = m["radix_per_pass"].get(
+        str(num_streams),
+        m["radix_per_pass"]["0"] + m["radix_per_pass_slope"] * num_streams,
+    )
+    return m["radix_fixed_us"] * 1e-6 + n * (m["radix_base_ns"] + npasses * pp) * 1e-9
 
 
 def _is_full_cover(positions, npasses: int) -> bool:

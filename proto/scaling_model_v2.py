@@ -1,0 +1,240 @@
+"""Measured-phase scaling model v2 (round 5, VERDICT #3).
+
+Differences from r04 (proto/scaling_model.py -> SCALING_MODEL_r04.json):
+
+1. DIRECT budget measurement: the receiver's final sort is measured at the
+   ACTUAL budgets 1.0 / 1.05 / 1.1 x local_n (pad-tailed arrays) instead of
+   linearly interpolating between 1.0x and 1.25x points — the platform
+   sort's ns/key curve is convex in n, so r04's interpolation OVERSTATED
+   the 1.05 tax (4.89 interp vs ~4.6-4.7 direct at d=8).
+2. The partition phase is measured in the SHIPPED round-5 form: pruned to
+   exactly ceil(log2 D) bucket bits, with the engine's wide-field single
+   pass for 16 < D <= 128 (one splice instead of two) — measured
+   0.348/0.614/0.743 ns/key at D=2/8/16 vs the r04 flat 0.75, and ~0.9 vs
+   1.4 at D=64 (proto/partition_lab.py).
+3. Predictions at BOTH problem frames: the strict 1B-pair frame
+   (n_global=2^30, local_n shrinks with d) and the BASELINE "1B+" weak-
+   scaling frame (local_n = 2^27 per device, n_global = d * 2^27).
+4. A zipf(1.1) local-sort row validating data-independence of the routed
+   sort (sampled splitters balance bucket COUNTS regardless of key
+   distribution, so the received data differs only in key range).
+5. The shipped-defaults row is tagged: exchange=ragged, overlap on,
+   recv_capacity_factor=1.05 (the round-5 defaults).
+
+Writes SCALING_MODEL_r05.json.
+
+Usage: python proto/scaling_model_v2.py [--quick]
+"""
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import _chain_time, _rand_u32
+from glu_tpu import radix_sort, radix_sort_multi
+from glu_tpu.parallel.dist_sort import _compact_blocks, _spread_to_padded
+
+PAD = 0xFFFFFFFF
+
+
+def bucket_of_local(keys, sk, si):
+    n = keys.shape[0]
+    gidx = jnp.arange(n, dtype=jnp.uint32)
+    bucket = jnp.zeros(n, dtype=jnp.int32)
+    for i in range(sk.shape[0]):
+        le = (sk[i] < keys) | ((sk[i] == keys) & (si[i] <= gidx))
+        bucket = bucket + le.astype(jnp.int32)
+    return bucket
+
+
+def zipf_u32(n, a=1.1, seed=3):
+    rng = np.random.default_rng(seed)
+    z = rng.zipf(a, size=n)
+    return jnp.asarray((z % (1 << 32)).astype(np.uint32))
+
+
+def measure_phases(local_n, D, cf=2.0, iters=4, budgets=(1.0, 1.05, 1.1)):
+    k = _rand_u32(local_n, 1)
+    v = jnp.arange(local_n, dtype=jnp.uint32)
+    sk = (jnp.arange(1, D, dtype=jnp.uint32) * jnp.uint32((2**32 - 1) // D)).astype(jnp.uint32)
+    si = jnp.zeros(D - 1, dtype=jnp.uint32)
+    capacity = min(int(np.ceil(cf * local_n / D)), local_n)
+    out = {}
+
+    out["bucket"] = _chain_time(
+        lambda kk: kk + bucket_of_local(kk, sk, si).astype(jnp.uint32), k, iters
+    )
+
+    nb = max(int(D - 1).bit_length(), 1)
+
+    def part(state):
+        kk, vv = state
+        b = (kk % jnp.uint32(D)).astype(jnp.uint32)
+        # the SHIPPED round-5 partition: pruned bucket bits (wide-field
+        # single pass engages for 4 < nb <= 7), engine backend as on pods
+        sb, (ok, ov) = radix_sort_multi(
+            b, (kk, vv), backend="pallas", bits=tuple(range(nb))
+        )
+        offs = jnp.searchsorted(
+            sb, jnp.arange(D, dtype=jnp.uint32), side="left"
+        ).astype(jnp.int32)
+        return ok, ov + offs[0].astype(jnp.uint32)
+
+    out["partition"] = _chain_time(part, (k, v), iters)
+
+    counts = jnp.full((D,), local_n // D, jnp.int32)
+    offsets = (jnp.arange(D, dtype=jnp.int32) * (local_n // D)).astype(jnp.int32)
+
+    def stage(state):
+        kk, vv = state
+        padded, sent, _ = _spread_to_padded([kk, vv], [PAD, 0], counts, offsets, D, capacity)
+        return padded[0].reshape(-1)[:local_n], padded[1].reshape(-1)[:local_n]
+
+    out["stage"] = _chain_time(stage, (k, v), iters)
+
+    recv_counts = jnp.full((D,), local_n // D, jnp.int32)
+    rk = jnp.pad(k.reshape(D, local_n // D), ((0, 0), (0, capacity - local_n // D)))
+    rv = jnp.pad(v.reshape(D, local_n // D), ((0, 0), (0, capacity - local_n // D)))
+
+    def compact(state):
+        a, b = state
+        outs, _ = _compact_blocks([a, b], [PAD, 0], recv_counts, D, int(1.1 * local_n))
+        return (
+            jnp.concatenate(
+                [outs[0][:local_n].reshape(D, local_n // D), a[:, local_n // D:]], axis=1
+            ),
+            b,
+        )
+
+    out["compact"] = _chain_time(compact, (rk, rv), iters)
+    del rk, rv
+
+    def lsort(state):
+        kk, vv = state
+        return radix_sort(kk, vv)  # routed, as shipped
+
+    for bud in budgets:
+        m = int(np.ceil(bud * local_n))
+        ksort = jnp.pad(k, (0, m - local_n), constant_values=np.uint32(PAD))
+        vsort = jnp.pad(v, (0, m - local_n))
+        out[f"sort@{bud}"] = _chain_time(lsort, (ksort, vsort), max(2, iters // 2))
+        del ksort, vsort
+
+    s = _rand_u32(D * 4096, 7)
+    out["sample"] = _chain_time(lambda x: jax.lax.sort((x, x), num_keys=2)[0], s, 64)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    cf = 2.0
+    # (D, local_n measured). 2^27 rates serve both the strict-1B d=2/8 rows
+    # and every weak-scaling row; smaller locals serve the strict-1B d>=16.
+    configs = [(2, 2**27), (8, 2**27), (16, 2**26), (64, 2**24), (256, 2**22),
+               (16, 2**27), (64, 2**27), (256, 2**27)]
+    if args.quick:
+        configs = [(8, 2**24), (64, 2**24)]
+
+    measured = []
+    for D, local_n in configs:
+        print(f"measuring D={D} local_n={local_n} ...", flush=True)
+        ph = measure_phases(local_n, D)
+        rec = {
+            "D": D,
+            "local_n_measured": local_n,
+            "phases_s": {p: round(t, 6) for p, t in ph.items()},
+            "phases_ns_per_key": {
+                p: round(t / local_n * 1e9, 3) for p, t in ph.items() if p != "sample"
+            },
+        }
+        measured.append(rec)
+        print("  ", rec["phases_ns_per_key"], flush=True)
+
+    # zipf local-sort data-independence check (d=8-scale local)
+    nz = 2**24 if args.quick else 2**27
+    kz = zipf_u32(nz)
+    vz = jnp.arange(nz, dtype=jnp.uint32)
+    t_zipf = _chain_time(lambda s: radix_sort(s[0], s[1]), (kz, vz), 2)
+    ku = _rand_u32(nz, 1)
+    t_unif = _chain_time(lambda s: radix_sort(s[0], s[1]), (ku, vz), 2)
+    zipf_rec = {
+        "local_n": nz,
+        "sort_ns_per_key_uniform": round(t_unif / nz * 1e9, 3),
+        "sort_ns_per_key_zipf": round(t_zipf / nz * 1e9, 3),
+    }
+    print("zipf check:", zipf_rec, flush=True)
+
+    preds = []
+    for rec in measured:
+        D = rec["D"]
+        mn = rec["local_n_measured"]
+        frames = []
+        if (D, mn) in [(2, 2**27), (8, 2**27), (16, 2**26), (64, 2**24), (256, 2**22)]:
+            frames.append(("1B", 2**30 // D))
+        if mn == 2**27:
+            frames.append(("1B+weak", 2**27))
+        for frame, local_n in frames:
+            t = {p: rec["phases_s"][p] * (local_n / mn) for p in rec["phases_s"]}
+            t_sample = rec["phases_s"]["sample"]
+            bytes_out = 8 * local_n * (D - 1) / D
+            for exchange in ("ragged", "padded"):
+                stage = t["stage"] if exchange == "padded" else 0.0
+                compact = t["compact"] if exchange == "padded" else 0.0
+                xbytes = bytes_out * (cf if exchange == "padded" else 1.0)
+                for recv_f in (1.05, 1.1):
+                    t_sort = t[f"sort@{recv_f}"]
+                    for beff_gbs in (25, 50, 100, 200):
+                        t_x = xbytes / (beff_gbs * 1e9)
+                        pre = t["bucket"] + t["partition"] + stage
+                        for overlap in (True, False):
+                            hidden = min(t_x, pre) if overlap else 0.0
+                            total = t_sample + pre + t_x - hidden + compact + t_sort
+                            thr = D * local_n / total
+                            single_rate = local_n / t["sort@1.0"]
+                            eff = thr / (D * single_rate)
+                            preds.append({
+                                "frame": frame, "d": D, "exchange": exchange,
+                                "recv_factor": recv_f, "ici_gbs": beff_gbs,
+                                "overlap": overlap,
+                                "shipped_defaults": (
+                                    exchange == "ragged" and overlap and recv_f == 1.05
+                                ),
+                                "pred_keys_per_s": round(thr / 1e6, 1),
+                                "scaling_efficiency": round(eff, 3),
+                            })
+
+    art = {
+        "artifact": "dist sort scaling model v2 (round 5: direct budget sorts, "
+                    "shipped pruned/wide-field partition, dual problem frames)",
+        "capacity_factor": cf,
+        "defaults": {"exchange": "auto->ragged on pods", "pipeline_chunks": "auto->2",
+                     "recv_capacity_factor": 1.05, "num_samples": 4096},
+        "method": "chained-timing of each pipeline phase on the real v5e chip; "
+                  "exchange modeled as 8B/pair x local_n x (D-1)/D x (cf if padded) / B_eff; "
+                  "overlap hides min(exchange, bucket+partition+stage); the final sort "
+                  "is measured DIRECTLY at each budget (pad-tailed)",
+        "ici_note": "public v5e spec: 1600 Gbit/s/chip aggregate ICI (~200 GB/s); "
+                    "effective all-to-all fraction unknown from one chip, hence the sweep",
+        "zipf_check": zipf_rec,
+        "measured": measured,
+        "predictions": preds,
+    }
+    with open("/root/repo/SCALING_MODEL_r05.json", "w") as f:
+        json.dump(art, f, indent=1)
+    print("wrote SCALING_MODEL_r05.json")
+    for p in preds:
+        if p["shipped_defaults"] and p["ici_gbs"] in (50, 100):
+            print(p)
+
+
+if __name__ == "__main__":
+    main()

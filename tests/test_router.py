@@ -7,6 +7,7 @@ TPU/explicit-backend gates; these tests pin the measured crossovers
 """
 
 import importlib
+import json
 
 import pytest
 
@@ -117,3 +118,46 @@ def test_routed_end_to_end_on_tpu(seeded_rng):
     ok2, ov2 = radix_sort(jnp.asarray(kl), jnp.asarray(v), bits="auto")
     np.testing.assert_array_equal(np.asarray(ok2), kl[order_l])
     np.testing.assert_array_equal(np.asarray(ov2), order_l.astype(np.uint32))
+
+
+def test_router_calibration_file(on_tpu, monkeypatch, tmp_path):
+    """Round-5 self-calibration: a calibration file pointed to by
+    GLU_TPU_ROUTER_CALIBRATION replaces the baked v5e constants; a missing
+    or corrupt file falls back to them (one-time vlog warning)."""
+    # fake chip where the platform sort is catastrophically slow: the router
+    # must flip the 1M full-width kv sort (xla on the v5e table) to pallas
+    fake = {
+        "device": "TPU vTEST",
+        "lax_ns_per_key": [[10, 500.0], [28, 500.0]],
+        "lax_slope": 0.0,
+    }
+    p = tmp_path / "router.json"
+    p.write_text(json.dumps(fake))
+    monkeypatch.setenv("GLU_TPU_ROUTER_CALIBRATION", str(p))
+    rs._reset_router_model()
+    try:
+        assert rs.router_calibration_path() == str(p)
+        assert rs._router_model()["device"] == "TPU vTEST"
+        assert rs._sort_backend(None, 2**20, 1, 8) == "pallas"
+        # corrupt file: fall back to the baked table
+        p.write_text("{nope")
+        rs._reset_router_model()
+        assert rs._router_model()["device"].startswith("TPU v5e")
+        assert rs._sort_backend(None, 2**20, 1, 8) == "xla"
+        # missing file: same fallback
+        monkeypatch.setenv("GLU_TPU_ROUTER_CALIBRATION", str(tmp_path / "absent.json"))
+        rs._reset_router_model()
+        assert rs._sort_backend(None, 2**28, 1, 8) == "pallas"
+    finally:
+        rs._reset_router_model()
+
+
+def test_router_model_default_cached(monkeypatch, tmp_path):
+    monkeypatch.setenv("GLU_TPU_ROUTER_CALIBRATION", str(tmp_path / "none.json"))
+    rs._reset_router_model()
+    try:
+        m1 = rs._router_model()
+        m2 = rs._router_model()
+        assert m1 is m2  # cached after first load
+    finally:
+        rs._reset_router_model()
