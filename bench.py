@@ -223,6 +223,19 @@ def calibrate_router(out_path=None, quick=False):
         table.append([lg, round(t / n * 1e9, 3)])
         print(f"  lax 2-op 2^{lg}: {t / n * 1e9:.3f} ns/key", flush=True)
     slope = max(table[-1][1] - table[-2][1], 0.01) / (lgs[-1] - lgs[-2])
+    # non-pow2 cliff: the ladder rows are exact powers of two where XLA's
+    # sort has a fast path; measure the penalty at ~1.125x the last row
+    nq = (1 << lgs[-1]) + (1 << (lgs[-1] - 3))
+    xq = _rand_u32(nq, 23)
+    vq = jnp.arange(nq, dtype=jnp.uint32)
+    tq = _chain_time(
+        lambda s_: jax.lax.sort((s_[0], s_[1]), num_keys=1, is_stable=True),
+        (xq, vq), _ladder_iters(nq, 2**28 if quick else 2**30, lo=4),
+    ) / nq * 1e9
+    interp_q = table[-1][1] + slope * 0.17  # log2(1.125)
+    nonpow2 = max(tq / interp_q, 1.0)
+    print(f"  lax non-pow2 cliff: {tq:.3f} ns/key at {nq} -> factor {nonpow2:.3f}", flush=True)
+    del xq, vq
     # operand scaling at the largest ladder size
     nb = 1 << lgs[-1]
     xb = _rand_u32(nb, 22)
@@ -267,6 +280,7 @@ def calibrate_router(out_path=None, quick=False):
         "lax_slope": round(slope, 4),
         "lax_fixed_us": 4.0,
         "lax_op_scale": [round(a, 4), round(b, 4)],
+        "lax_nonpow2_factor": round(nonpow2, 4),
         "radix_fixed_us": 40.0,
         "radix_base_ns": round(base, 4),
         "radix_per_pass": {
@@ -474,7 +488,7 @@ def vs_xla_table(backend):
         )
 
 
-def bench_dist(n, backend, reps=2, capacity_factor=1.5, exchange="padded", pipeline_chunks=1):
+def bench_dist(n, backend, reps=2, capacity_factor=1.5, exchange="auto", pipeline_chunks="auto"):
     """Distributed sort throughput + scaling efficiency over all local
     devices (the BASELINE.json multi-host metric; on a pod slice run this
     per-host under jax.distributed)."""
@@ -635,10 +649,11 @@ def main():
                     help="head-to-head ladder vs the platform's own jax.lax.sort/"
                          "jnp.argsort/jnp.cumsum/jnp.sum on the same chip")
     ap.add_argument("--dist", action="store_true", help="distributed sort over all local devices")
-    ap.add_argument("--exchange", default="padded", choices=["padded", "ragged"],
+    ap.add_argument("--exchange", default="auto", choices=["auto", "padded", "ragged"],
                     help="bucket exchange implementation for --dist (ragged = "
                          "jax.lax.ragged_all_to_all; compiles on TPU meshes only)")
-    ap.add_argument("--pipeline-chunks", type=int, default=1,
+    ap.add_argument("--pipeline-chunks", default="auto",
+                    type=lambda v: v if v == "auto" else int(v),
                     help="chunked overlap pipeline for --dist (exchange of chunk c "
                          "overlaps partition of chunk c+1 on real meshes)")
     ap.add_argument("--keys-only", action="store_true",

@@ -77,6 +77,12 @@ _V5E_MODEL = {
     "lax_fixed_us": 4.0,
     # operand scaling (measured at 67-268M: 1-op 0.71x, 3-op 1.29x of 2-op)
     "lax_op_scale": [0.71, 0.29],
+    # the table rows are measured at EXACT powers of two, where XLA's TPU
+    # sort has a fast path; any other size pays ~1.3x (measured r5 at
+    # ~1.4e8: 2^27 4.387 ns/key vs 2^27+2^20 5.759, ceil(1.05*2^27) 5.848,
+    # 3*2^26 5.218 — /tmp cliff lab, recorded in NOTES.md). The engine is
+    # flat in n, so non-pow2 sorts route to it from much smaller n.
+    "lax_nonpow2_factor": 1.28,
     # engine: fixed dispatch + per-key linear in passes, per stream count
     # (keys-only 3.93 ns/key at 8 passes -> 0.46/pass, key+value 4.81 ->
     # 0.57, 3-stream ~6.1 -> 0.73; extrapolation 0.46 + 0.135/stream)
@@ -157,6 +163,8 @@ def _lax_sort_est_s(n: int, num_operands: int) -> float:
                 break
     a, b = m["lax_op_scale"]
     ns *= a + b * (num_operands - 1)
+    if n & (n - 1):  # not a power of two: the platform sort's cliff
+        ns *= m.get("lax_nonpow2_factor", 1.0)
     return m["lax_fixed_us"] * 1e-6 + n * ns * 1e-9
 
 

@@ -119,11 +119,23 @@ def measure_phases(local_n, D, cf=2.0, iters=4, budgets=(1.0, 1.05, 1.1)):
         kk, vv = state
         return radix_sort(kk, vv)  # routed, as shipped
 
+    def esort(state):
+        kk, vv = state
+        return radix_sort(kk, vv, backend="pallas")  # engine, flat in n
+
     for bud in budgets:
         m = int(np.ceil(bud * local_n))
         ksort = jnp.pad(k, (0, m - local_n), constant_values=np.uint32(PAD))
         vsort = jnp.pad(v, (0, m - local_n))
         out[f"sort@{bud}"] = _chain_time(lsort, (ksort, vsort), max(2, iters // 2))
+        if bud != 1.0:
+            # the engine side of the budget sort: lax.sort falls off a
+            # cliff at non-power-of-2 sizes (sort@1.05 measured 6.16 vs
+            # 4.40 ns/key at the 2^27 base) while the engine is flat in n
+            # — the router picks the min once its model knows the cliff
+            out[f"sort_engine@{bud}"] = _chain_time(
+                esort, (ksort, vsort), max(2, iters // 2)
+            )
         del ksort, vsort
 
     s = _rand_u32(D * 4096, 7)
@@ -131,54 +143,80 @@ def measure_phases(local_n, D, cf=2.0, iters=4, budgets=(1.0, 1.05, 1.1)):
     return out
 
 
+MEASURED_PATH = "/root/repo/SCALING_MODEL_r05_measured.jsonl"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--from-measured", action="store_true",
+                    help="skip measuring; emit predictions from the jsonl")
     args = ap.parse_args()
 
     cf = 2.0
     # (D, local_n measured). 2^27 rates serve both the strict-1B d=2/8 rows
     # and every weak-scaling row; smaller locals serve the strict-1B d>=16.
-    configs = [(2, 2**27), (8, 2**27), (16, 2**26), (64, 2**24), (256, 2**22),
-               (16, 2**27), (64, 2**27), (256, 2**27)]
+    # D=256 is dropped (beyond the d<=64 target; its 255-way unrolled bucket
+    # compare dominates the measurement, not the design).
+    configs = [(2, 2**27), (8, 2**27), (16, 2**26), (64, 2**24),
+               (16, 2**27), (64, 2**27)]
     if args.quick:
         configs = [(8, 2**24), (64, 2**24)]
 
-    measured = []
-    for D, local_n in configs:
-        print(f"measuring D={D} local_n={local_n} ...", flush=True)
-        ph = measure_phases(local_n, D)
-        rec = {
-            "D": D,
-            "local_n_measured": local_n,
-            "phases_s": {p: round(t, 6) for p, t in ph.items()},
-            "phases_ns_per_key": {
-                p: round(t / local_n * 1e9, 3) for p, t in ph.items() if p != "sample"
-            },
-        }
-        measured.append(rec)
-        print("  ", rec["phases_ns_per_key"], flush=True)
+    import os
 
-    # zipf local-sort data-independence check (d=8-scale local)
-    nz = 2**24 if args.quick else 2**27
-    kz = zipf_u32(nz)
-    vz = jnp.arange(nz, dtype=jnp.uint32)
-    t_zipf = _chain_time(lambda s: radix_sort(s[0], s[1]), (kz, vz), 2)
-    ku = _rand_u32(nz, 1)
-    t_unif = _chain_time(lambda s: radix_sort(s[0], s[1]), (ku, vz), 2)
-    zipf_rec = {
-        "local_n": nz,
-        "sort_ns_per_key_uniform": round(t_unif / nz * 1e9, 3),
-        "sort_ns_per_key_zipf": round(t_zipf / nz * 1e9, 3),
-    }
-    print("zipf check:", zipf_rec, flush=True)
+    done = []
+    if os.path.exists(MEASURED_PATH):
+        with open(MEASURED_PATH) as f:
+            done = [json.loads(line) for line in f if line.strip()]
+    measured = list(done)
+    have = {(r["D"], r["local_n_measured"]) for r in done
+            if "zipf" not in r}
+    if not args.from_measured:
+        for D, local_n in configs:
+            if (D, local_n) in have:
+                print(f"have D={D} local_n={local_n} (cached)", flush=True)
+                continue
+            print(f"measuring D={D} local_n={local_n} ...", flush=True)
+            ph = measure_phases(local_n, D)
+            rec = {
+                "D": D,
+                "local_n_measured": local_n,
+                "phases_s": {p: round(t, 6) for p, t in ph.items()},
+                "phases_ns_per_key": {
+                    p: round(t / local_n * 1e9, 3) for p, t in ph.items() if p != "sample"
+                },
+            }
+            measured.append(rec)
+            with open(MEASURED_PATH, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print("  ", rec["phases_ns_per_key"], flush=True)
+
+    zipf_rec = next((r["zipf"] for r in done if "zipf" in r), None)
+    if zipf_rec is None and not args.from_measured:
+        # zipf local-sort data-independence check (d=8-scale local)
+        nz = 2**24 if args.quick else 2**27
+        kz = zipf_u32(nz)
+        vz = jnp.arange(nz, dtype=jnp.uint32)
+        t_zipf = _chain_time(lambda s: radix_sort(s[0], s[1]), (kz, vz), 2)
+        ku = _rand_u32(nz, 1)
+        t_unif = _chain_time(lambda s: radix_sort(s[0], s[1]), (ku, vz), 2)
+        zipf_rec = {
+            "local_n": nz,
+            "sort_ns_per_key_uniform": round(t_unif / nz * 1e9, 3),
+            "sort_ns_per_key_zipf": round(t_zipf / nz * 1e9, 3),
+        }
+        with open(MEASURED_PATH, "a") as f:
+            f.write(json.dumps({"zipf": zipf_rec}) + "\n")
+        print("zipf check:", zipf_rec, flush=True)
+    measured = [r for r in measured if "zipf" not in r]
 
     preds = []
     for rec in measured:
         D = rec["D"]
         mn = rec["local_n_measured"]
         frames = []
-        if (D, mn) in [(2, 2**27), (8, 2**27), (16, 2**26), (64, 2**24), (256, 2**22)]:
+        if (D, mn) in [(2, 2**27), (8, 2**27), (16, 2**26), (64, 2**24)]:
             frames.append(("1B", 2**30 // D))
         if mn == 2**27:
             frames.append(("1B+weak", 2**27))
@@ -191,7 +229,14 @@ def main():
                 compact = t["compact"] if exchange == "padded" else 0.0
                 xbytes = bytes_out * (cf if exchange == "padded" else 1.0)
                 for recv_f in (1.05, 1.1):
-                    t_sort = t[f"sort@{recv_f}"]
+                    # the ROUTED budget sort: min of the platform measurement
+                    # (non-pow2 cliff included) and the flat-rate engine —
+                    # what ships once the router's lax model carries the
+                    # cliff term (ops/radix_sort.py round-5)
+                    t_sort = min(
+                        t[f"sort@{recv_f}"],
+                        t.get(f"sort_engine@{recv_f}", float("inf")),
+                    )
                     for beff_gbs in (25, 50, 100, 200):
                         t_x = xbytes / (beff_gbs * 1e9)
                         pre = t["bucket"] + t["partition"] + stage

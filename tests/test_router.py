@@ -161,3 +161,14 @@ def test_router_model_default_cached(monkeypatch, tmp_path):
         assert m1 is m2  # cached after first load
     finally:
         rs._reset_router_model()
+
+
+def test_nonpow2_cliff_routes_to_engine(on_tpu):
+    """Round-5: XLA's TPU sort has a pow-2-only fast path (measured +31%
+    at 2^27+2^20); the router's lax model carries the cliff factor, so
+    non-pow2 full-width kv sorts flip to the flat-rate engine from ~2^26
+    up while exact pow-2 sizes keep the platform until ~2^27.5."""
+    assert rs._sort_backend(None, 2**27, 1, 8) == "xla"        # pow2: platform
+    assert rs._sort_backend(None, 2**27 + 2**20, 1, 8) == "pallas"  # cliff
+    assert rs._sort_backend(None, int(1.05 * 2**27), 1, 8) == "pallas"
+    assert rs._sort_backend(None, 2**24 + 1, 1, 8) == "xla"    # small: platform
