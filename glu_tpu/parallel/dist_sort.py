@@ -609,7 +609,7 @@ def distributed_radix_sort(
     axis_name: str = "shards",
     capacity_factor: float = 2.0,
     recv_capacity_factor: float = 1.05,
-    num_samples: int = 4096,
+    num_samples: int = 8192,
     backend: str | None = None,
     exchange: str = "auto",
     max_retries: int = 3,
@@ -646,10 +646,11 @@ def distributed_radix_sort(
     sort — the dominant cost — runs over recv_capacity_factor*n_local slots,
     so it is the largest efficiency knob at scale (the scaling model prices
     the budget tax directly, SCALING_MODEL_r05.json). With the default 4096
-    samples/device the index-tiebroken splitters keep worst-case received
-    totals within ~4.3% of n_local across uniform/zipf/low-entropy/presorted
-    distributions (5-trial sim, NOTES.md round-4), so the 1.05 default still
-    has margin, and the lossless retry covers the tail; block-level skew is
+    samples/device (8192) the index-tiebroken splitters keep worst-case received
+    totals within ~3.5% of n_local across uniform/zipf/low-entropy/presorted
+    distributions (5-trial sim with the round-5 ceil-stride sampler,
+    proto/splitter_error_sim.py), so the 1.05 default has ~1.4x margin and
+    the lossless retry covers the tail; block-level skew is
     absorbed by the per-block capacity, not the sort length. With one device
     both factors are ignored and the sort is exact (n_local slots, no
     exchange).
@@ -869,7 +870,7 @@ def distributed_radix_sort_u64_parts(
     axis_name: str = "shards",
     capacity_factor: float = 2.0,
     recv_capacity_factor: float = 1.05,
-    num_samples: int = 4096,
+    num_samples: int = 8192,
     backend: str | None = None,
     exchange: str = "auto",
     max_retries: int = 3,

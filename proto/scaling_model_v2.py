@@ -211,6 +211,17 @@ def main():
         print("zipf check:", zipf_rec, flush=True)
     measured = [r for r in measured if "zipf" not in r]
 
+    # routed single-sort cost model for the decimal frame (local sizes are
+    # never powers of two there, so BOTH the comparator and the budget sort
+    # lose the platform's pow2 fast path): the library's own router model,
+    # anchored by this run's direct engine measurement
+    import importlib
+
+    rsm = importlib.import_module("glu_tpu.ops.radix_sort")
+
+    def routed_sort_s(n):
+        return min(rsm._lax_sort_est_s(n, 2), rsm._radix_est_s(n, 1, 8))
+
     preds = []
     for rec in measured:
         D = rec["D"]
@@ -218,6 +229,10 @@ def main():
         frames = []
         if (D, mn) in [(2, 2**27), (8, 2**27), (16, 2**26), (64, 2**24)]:
             frames.append(("1B", 2**30 // D))
+            # decimal 1e9 pairs: the GENERIC (non-pow2) case — BASELINE's
+            # "1B+" in decimal units; phases are flat in n, sorts come from
+            # the router model at the actual non-pow2 sizes
+            frames.append(("1B-dec", 10**9 // D))
         if mn == 2**27:
             frames.append(("1B+weak", 2**27))
         for frame, local_n in frames:
@@ -237,6 +252,10 @@ def main():
                         t[f"sort@{recv_f}"],
                         t.get(f"sort_engine@{recv_f}", float("inf")),
                     )
+                    t_sort1 = t["sort@1.0"]
+                    if frame == "1B-dec":
+                        t_sort = routed_sort_s(int(recv_f * local_n))
+                        t_sort1 = routed_sort_s(local_n)
                     for beff_gbs in (25, 50, 100, 200):
                         t_x = xbytes / (beff_gbs * 1e9)
                         pre = t["bucket"] + t["partition"] + stage
@@ -244,7 +263,7 @@ def main():
                             hidden = min(t_x, pre) if overlap else 0.0
                             total = t_sample + pre + t_x - hidden + compact + t_sort
                             thr = D * local_n / total
-                            single_rate = local_n / t["sort@1.0"]
+                            single_rate = local_n / t_sort1
                             eff = thr / (D * single_rate)
                             preds.append({
                                 "frame": frame, "d": D, "exchange": exchange,

@@ -4,12 +4,14 @@ Mirrors _sample_splitters' strided, index-tiebroken quantile sampling
 (glu_tpu/parallel/dist_sort.py:66-89) in numpy and measures the worst
 received-count deviation from local_n across device counts, sample
 densities, and key distributions — the number that bounds how tight the
-receiver sort budget (recv_capacity_factor) can safely be. Results that
-set the shipped defaults (num_samples=4096, recv_capacity_factor=1.1):
+receiver sort budget (recv_capacity_factor) can safely be. Results that set the round-5 shipped defaults (num_samples=8192,
+recv_capacity_factor=1.05; ceil-stride sampler after the r4-ADVICE fix):
 
   256 samples/device : worst deviation  5-30%  (1.25 budget justified)
-  1024               : worst deviation  6-10%
-  4096               : worst deviation  <=4.3% (1.1 budget, ~2.5x margin)
+  1024               : worst deviation  6-11%
+  4096               : worst deviation  <=4.9% (razor-thin under 1.05)
+  8192               : worst deviation  <=3.5% (1.05 budget, ~1.4x margin)
+  16384              : worst deviation  <=3.1% (diminishing returns)
 
 Error scales ~1/samples; sampling cost is a D x samples device sort —
 microseconds against the pipeline's 100 ms+ phases.
@@ -43,9 +45,12 @@ def run(sample_counts=(256, 1024, 4096), dists=("uniform", "zipf", "presorted", 
                         np.arange(D * n_local, dtype=np.uint64) % np.uint64(1 << 32)
                     )
                     shards = lex.reshape(D, n_local)
-                    stride = max(n_local // ns, 1)
+                    # round-5 ceil-stride sampler (spans the whole shard;
+                    # matches _sample_splitters after the r4-ADVICE fix)
+                    stride = -(-n_local // ns)
+                    take = min(ns, -(-n_local // stride))
                     samples = np.sort(
-                        np.concatenate([s[::stride][:ns] for s in shards])
+                        np.concatenate([s[::stride][:take] for s in shards])
                     )
                     m = samples.size
                     q = (np.arange(1, D) * m) // D
