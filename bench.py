@@ -245,10 +245,13 @@ def calibrate_router(out_path=None, quick=False):
     t1 = _chain_time(
         lambda s_: jax.lax.sort((s_,), num_keys=1, is_stable=True)[0], xb, itb
     ) / nb * 1e9
-    t3 = _chain_time(
-        lambda s_: jax.lax.sort((s_[0], s_[1], s_[1]), num_keys=1, is_stable=True),
-        (xb, vb), itb,
-    ) / nb * 1e9
+    def _sort3(s_):
+        # keep all three operands LIVE (a dead output lets XLA DCE the
+        # operand and measure a 2-op sort) while returning the input pytree
+        o = jax.lax.sort((s_[0], s_[1], s_[1]), num_keys=1, is_stable=True)
+        return (o[0], o[1] ^ o[2])
+
+    t3 = _chain_time(_sort3, (xb, vb), itb) / nb * 1e9
     a = t1 / t2
     b = (t3 / t2 - a) / 2
     print(f"  lax operand scale: 1-op {t1:.3f} 2-op {t2:.3f} 3-op {t3:.3f}", flush=True)
@@ -262,7 +265,8 @@ def calibrate_router(out_path=None, quick=False):
             ok, ovs = rs._radix_sort_streams(
                 jnp.copy(k), tuple(jnp.copy(p) for p in ps), passes, "pallas"
             )
-            return (ok,) + tuple(ovs) if ovs else (ok, s_[1])
+            # carry must keep the (keys, payload) pytree shape of the input
+            return (ok, ovs[0] if ovs else s_[1])
         return _chain_time(f, (xb, vb), max(itb // 2, 2)) / nb * 1e9
 
     kv8 = eng(1, 8)
