@@ -65,6 +65,18 @@ fn64 = _dist_fn_u64(mesh, "shards", 8, 1024, 4505, 2048, "pallas", "ragged",
 fn64.lower(ks, ks, ks).compile()
 compiled["ragged-pallas-u64"] = round(time.time() - t0, 1)
 
+# 16 chips = TWO v5e hosts (4x4): the ragged + chunked program lowers for
+# a multi-HOST topology (ICI+DCN collectives), not just one host's mesh
+t0 = time.time()
+topo16 = topologies.get_topology_desc(platform="tpu", topology_name="v5e:4x4")
+mesh16 = topologies.make_mesh(topo16, (16,), ("shards",))
+sh16 = jax.sharding.NamedSharding(mesh16, jax.sharding.PartitionSpec("shards"))
+ks16 = jax.ShapeDtypeStruct((16 * 4096,), jnp.uint32, sharding=sh16)
+fn16 = _dist_fn_u32(mesh16, "shards", 16, 1024, 4505, 2048, "pallas",
+                    "ragged", 2, None)
+fn16.lower(ks16, ks16).compile()
+compiled["ragged-pallas-chunked2-16chip-2host"] = round(time.time() - t0, 1)
+
 print(json.dumps({"ok": True, "devices": 8, "compile_s": compiled}))
 """
 
@@ -95,5 +107,5 @@ def test_ragged_programs_aot_compile_for_8chip_mesh():
     assert rec["ok"] and rec["devices"] == 8
     assert set(rec["compile_s"]) == {
         "ragged-pallas-seq", "ragged-pallas-chunked2", "ragged-xla-seq",
-        "ragged-pallas-u64",
+        "ragged-pallas-u64", "ragged-pallas-chunked2-16chip-2host",
     }
