@@ -46,7 +46,15 @@ def _load():
     try:
         lib = ctypes.CDLL(str(_LIB))
     except OSError:
-        return None
+        # a cached .so from another machine/toolchain (e.g. -march=native
+        # for a different CPU, or a different glibc) can exist yet refuse
+        # to load — rebuild once for THIS machine and retry
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError:
+            return None
     u32p = ctypes.POINTER(ctypes.c_uint32)
     lib.glu_oracle_radix_sort_kv.argtypes = [u32p, u32p, ctypes.c_uint64]
     lib.glu_oracle_radix_sort_kv_partial.argtypes = [u32p, u32p, ctypes.c_uint64, ctypes.c_int]

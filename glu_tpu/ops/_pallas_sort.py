@@ -698,7 +698,9 @@ def _single_block_sort(keys2d, values2d, R, positions, interpret):
     return outs[0], list(outs[1:])
 
 
-def pallas_radix_sort_streams(keys: jax.Array, payloads, num_steps: int, bit_positions=None):
+def pallas_radix_sort_streams(
+    keys: jax.Array, payloads, num_steps: int, bit_positions=None, group_plan=None
+):
     """Stable LSD radix sort of u32 keys with a LIST of u32 payload streams
     permuted identically (reference operator() semantics for the (key,
     value) case, RadixSort.hpp:273; N-stream movement is the TPU extension
@@ -708,7 +710,13 @@ def pallas_radix_sort_streams(keys: jax.Array, payloads, num_steps: int, bit_pos
     bit_positions (optional, static tuple) restricts the sort to the given
     key bit positions, LSB-first — the bit-pruned path under the adaptive
     sorts: only ceil(len(bit_positions)/FIELD_BITS) passes run instead of
-    num_steps. None means bits 0..4*num_steps-1 (the reference contract)."""
+    num_steps. None means bits 0..4*num_steps-1 (the reference contract).
+
+    group_plan (optional, static tuple of per-pass bit counts summing to the
+    position count, each 1..6) overrides the grouping policy — the knob the
+    wide-field full-width pricing lab turns (proto/widefield_full_lab.py);
+    None means the measured default (4-bit passes, one wide pass at 5-6
+    total bits)."""
     interp = interpret_mode()
     payloads = list(payloads)
     ns = len(payloads)
@@ -719,7 +727,15 @@ def pallas_radix_sort_streams(keys: jax.Array, payloads, num_steps: int, bit_pos
         positions = tuple(int(b) for b in bit_positions)
     if not positions:
         return keys, payloads  # zero sort bits: the identity permutation
-    if FIELD_BITS < len(positions) <= 6:
+    if group_plan is not None:
+        sizes = tuple(int(s) for s in group_plan)
+        if sum(sizes) != len(positions) or not all(1 <= s <= 6 for s in sizes):
+            raise ValueError("group_plan must partition the bit positions into 1..6-bit passes")
+        groups, i = [], 0
+        for s in sizes:
+            groups.append(positions[i : i + s])
+            i += s
+    elif FIELD_BITS < len(positions) <= 6:
         # wide-field single pass: 5-6 sort bits (the distributed bucket
         # partition at 16 < D <= 64, and 5-6-bit adaptive sorts) group in
         # ONE pass of up to 64 bins — same split count, but ONE splice
@@ -765,14 +781,17 @@ def pallas_radix_sort_streams(keys: jax.Array, payloads, num_steps: int, bit_pos
     # splicer slack rows are allocated ONCE and carried through all passes
     # (re-padding each pass would copy the full arrays 2x per pass); the
     # slack region holds garbage and is excluded from the group grid and
-    # from the final slice.
-    ch, rd = _chunk_rows(R, fields)
-    slack = _slack_rows(ch, rd)
+    # from the final slice. Chunk geometry is sized PER PASS to that pass's
+    # bin count (a mixed plan's 4-bit passes keep their typical-run-sized
+    # chunks rather than inheriting the widest pass's tighter cap); the
+    # shared slack takes the max any pass needs.
+    ch_rd = [_chunk_rows(R, 1 << len(g)) for g in groups]
+    slack = max(_slack_rows(ch, rd) for ch, rd in ch_rd)
     rows_slacked = total_rows + slack
     k2 = jnp.pad(k2, ((0, slack), (0, 0)))
     v2s = [jnp.pad(v, ((0, slack), (0, 0))) for v in v2s]
 
-    for g in groups:
+    for g, (ch, rd) in zip(groups, ch_rd):
         pos_arr = jnp.array(g, dtype=jnp.int32)
         gk, gvs, counts = _group_pass(pos_arr, k2, v2s, R, interp, num_blocks, nbits=len(g))
         srcs, dsts, lens, nruns = _run_descriptors(counts, R)

@@ -102,3 +102,21 @@ def test_oracle_sort_u64(oracle, seeded_rng):
 def test_oracle_is_sorted(oracle):
     assert oracle.is_sorted(np.arange(100, dtype=np.uint32))
     assert not oracle.is_sorted(np.array([3, 1, 2], dtype=np.uint32))
+
+
+def test_corrupt_lib_rebuilds(tmp_path, monkeypatch):
+    """A cached .so from another machine/toolchain can exist (with a fresh
+    mtime) yet refuse to CDLL — the loader must rebuild for THIS machine
+    instead of silently dropping to the NumPy fallback."""
+    import os
+
+    from glu_tpu.native import oracle as om
+
+    bad = tmp_path / "libgluoracle.so"
+    bad.write_bytes(b"\x7fELF not really")
+    fresh = om._SRC.stat().st_mtime + 100
+    os.utime(bad, (fresh, fresh))
+    monkeypatch.setattr(om, "_LIB", bad)
+    monkeypatch.setattr(om, "_lib", None)
+    monkeypatch.setattr(om, "_tried", False)
+    assert om.have_native(), "loader must rebuild a corrupt cached library"

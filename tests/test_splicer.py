@@ -217,3 +217,23 @@ def test_multiblock_wide_field_multi_stream(tiny_engine, seeded_rng):
     np.testing.assert_array_equal(np.asarray(sb), b[order])
     np.testing.assert_array_equal(np.asarray(ok), k[order])
     np.testing.assert_array_equal(np.asarray(ov), order.astype(np.uint32))
+
+
+@pytest.mark.parametrize(
+    "plan",
+    [(6, 6, 6, 6, 4, 4), (4, 4, 6, 6, 6, 6), (6, 6, 5, 5, 5, 5), (5, 5, 5, 5, 4, 4, 4), (6, 6, 6, 6, 6, 2)],
+)
+def test_multiblock_group_plans(plan, tiny_engine, seeded_rng):
+    """Full-width mixed group plans (the proto/widefield_full_lab.py knob):
+    wide-field and 4-bit passes interleave, so the per-pass chunk geometry
+    and the shared max-slack allocation must reproduce the stable sort."""
+    from glu_tpu.ops._pallas_sort import pallas_radix_sort_streams
+
+    keys = seeded_rng(900 + plan[0] * 10 + plan[-1]).sample_int_vector(5000, 0, 0xFFFFFFFE)
+    vals = np.arange(keys.size, dtype=np.uint32)
+    out_k, out_vs = pallas_radix_sort_streams(
+        jnp.asarray(keys), [jnp.asarray(vals)], 8, None, plan
+    )
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(out_k), keys[order])
+    np.testing.assert_array_equal(np.asarray(out_vs[0]), order.astype(np.uint32))
